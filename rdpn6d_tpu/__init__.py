@@ -1,0 +1,23 @@
+"""rdpn6d_tpu — TPU-native (JAX/XLA/Pallas) dense point-wise 6DoF pose framework.
+
+A from-scratch rebuild of the capabilities of RDPN6D
+(AI-Application-and-Integration-Lab/RDPN6D, CVPRW DLGC 2024): RGB-D ROI crops
+through a ResNet+PointNet-fusion backbone with dense coordinate-residual /
+region / mask heads and a Patch-PnP head regressing allocentric rot6d +
+centroid/z, with the full image->pose path (including preprocessing and pose
+recovery) compiled on-device.
+
+Layer map (bottom to top):
+    geometry/    pure-JAX rotation/camera/SE3/symmetry math
+    ops/         FPS, ROI warp, backprojection, region labels, RANSAC-Kabsch
+    models/      flax.linen backbone + heads + top-level RDPN module
+    losses/      masked coord/mask/region losses, point-matching loss
+    data/        BOP dataset registry, records, on-device preprocessing graph
+    solver/      optax Ranger + flat_and_anneal schedule
+    parallel/    device-mesh sharding and SPMD train/eval steps
+    engine/      trainer, checkpointing, metric writers
+    evaluation/  ADD(-S)/AUC/re/te/proj scoring + BOP19 CSV export
+    csrc/        native C++ components (FPS, software rasterizer)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,92 @@
+"""Object symmetry handling: discretized symmetry sets and closest-rotation
+selection, designed for fixed-shape on-device batching.
+
+Counterpart of the reference's ``lib/pysixd/misc.py:206-255``
+(get_symmetry_transformations) and ``core/utils/pose_utils.py:430-484``
+(get_closest_rot[_batch]). The reference loops over symmetries per-sample on
+the host; here each class carries a PADDED [K, 3, 3] symmetry-rotation bank
+(identity-padded — identity is always a valid symmetry member) and the closest
+GT rotation is selected with a vmapped argmin, so the symmetric point-matching
+loss stays inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rotations import angular_distance
+
+
+def symmetry_rotations(model_info: dict[str, Any],
+                       max_sym_disc_step: float = 0.01) -> np.ndarray:
+    """Discrete + discretized-continuous symmetry ROTATIONS for one model.
+
+    model_info follows BOP models_info.json keys: ``symmetries_discrete``
+    (flattened 4x4 row-major) and ``symmetries_continuous`` ({axis, offset}).
+    Returns [K, 3, 3] float32 with the identity first. Translation offsets of
+    symmetries are dropped (the reference's PM loss also only uses R,
+    pm_loss.py:99-101).
+    """
+    disc = [np.eye(3, dtype=np.float64)]
+    for sym in model_info.get("symmetries_discrete", []):
+        disc.append(np.reshape(np.asarray(sym, dtype=np.float64), (4, 4))[:3, :3])
+
+    cont = []
+    for sym in model_info.get("symmetries_continuous", []):
+        axis = np.asarray(sym["axis"], dtype=np.float64)
+        axis = axis / np.linalg.norm(axis)
+        n_steps = int(math.ceil(math.pi / max_sym_disc_step))
+        step = 2.0 * math.pi / n_steps
+        for i in range(1, n_steps):
+            a = i * step
+            c, s = math.cos(a), math.sin(a)
+            C = 1.0 - c
+            x, y, z = axis
+            cont.append(np.array([
+                [x * x * C + c, x * y * C - z * s, x * z * C + y * s],
+                [y * x * C + z * s, y * y * C + c, y * z * C - x * s],
+                [z * x * C - y * s, z * y * C + x * s, z * z * C + c],
+            ]))
+
+    if cont:
+        out = [Rc @ Rd for Rd in disc for Rc in [np.eye(3)] + cont]
+    else:
+        out = disc
+    return np.stack(out).astype(np.float32)
+
+
+def pad_symmetries(sym_list: list[np.ndarray | None],
+                   max_syms: int | None = None) -> np.ndarray:
+    """Stack per-class symmetry banks into one identity-padded array.
+
+    sym_list: per-class [K_i, 3, 3] (or None for asymmetric objects).
+    Returns [num_classes, K_max, 3, 3] float32.
+    """
+    banks = [np.eye(3, dtype=np.float32)[None] if s is None or len(s) == 0
+             else np.asarray(s, dtype=np.float32) for s in sym_list]
+    K = max_syms or max(b.shape[0] for b in banks)
+    out = np.tile(np.eye(3, dtype=np.float32), (len(banks), K, 1, 1))
+    for i, b in enumerate(banks):
+        k = min(b.shape[0], K)
+        out[i, :k] = b[:k]
+    return out
+
+
+def closest_rot(rot_est: jax.Array, rot_gt: jax.Array,
+                sym_rots: jax.Array) -> jax.Array:
+    """Symmetry-equivalent GT rotation closest (geodesically) to the estimate.
+
+    rot_est/rot_gt: [..., 3, 3]; sym_rots: [..., K, 3, 3] (identity-padded).
+    Returns [..., 3, 3] = rot_gt @ sym_rots[k*] with k* minimizing the angular
+    distance to rot_est.
+    """
+    cands = rot_gt[..., None, :, :] @ sym_rots  # [..., K, 3, 3]
+    d = angular_distance(rot_est[..., None, :, :], cands)  # [..., K]
+    best = jnp.argmin(d, axis=-1)
+    return jnp.take_along_axis(
+        cands, best[..., None, None, None], axis=-3)[..., 0, :, :]
