@@ -1,0 +1,212 @@
+"""Typed configuration system.
+
+Replaces the reference's mmcv ``Config.fromfile`` python-dict configs with
+``_base_`` inheritance and stringified-``eval`` fields
+(core/gdrn_modeling/main_gdrn.py:39-65, a quirk SURVEY.md flags to not
+replicate). Here configs are plain frozen-ish dataclasses: composable in
+python config modules (configs/*.py expose ``get_config()``), overridable
+from the CLI with dotted ``key=value`` opts, and serializable to JSON for
+output-dir dumps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class BackboneConfig:
+    depth: int = 34                 # 18/34/50/101/152
+    input_res: int = 256
+    rgb_channels: int = 3           # trunk consumes RGB; depth-XYZ feeds fusion
+    freeze: bool = False
+    pretrained: str = ""            # path to converted torchvision npz, or ""
+
+
+@dataclass
+class HeadConfig:
+    num_filters: int = 256
+    num_layers: int = 3
+    out_res: int = 64
+    norm: str = "BN"                # BN | GN
+    gn_groups: int = 32
+    num_classes: int = 13
+    num_regions: int = 32
+    xyz_loss: str = "L1"            # L1 | CE_coor
+    xyz_bin: int = 64
+    xyz_loss_mask: str = "visib"    # trunc | visib | obj
+    xyz_lw: float = 1.0
+    mask_loss: str = "L1"           # L1 | BCE | CE
+    mask_loss_gt: str = "trunc"
+    mask_lw: float = 1.0
+    mask_thr_test: float = 0.5
+    region_loss_mask: str = "visib"
+    region_lw: float = 1.0
+
+    @property
+    def coord_dim(self) -> int:
+        return 3 * (self.xyz_bin + 1) if self.xyz_loss == "CE_coor" else 3
+
+    @property
+    def mask_dim(self) -> int:
+        return 2 if self.mask_loss == "CE" else 1
+
+    @property
+    def region_dim(self) -> int:
+        return self.num_regions + 1
+
+
+@dataclass
+class PnPConfig:
+    featdim: int = 128
+    num_layers: int = 3
+    norm: str = "GN"
+    gn_groups: int = 32
+    drop_prob: float = 0.0
+    rot_type: str = "allo_rot6d"    # {allo,ego}_{rot6d,quat}
+    trans_type: str = "centroid_z"
+    z_type: str = "REL"
+    with_2d_coord: bool = True      # concat [depth_xyz/4 ; 2d coords] (5 ch)
+    region_attention: bool = True
+    mask_attention: str = "mul"     # none | mul | concat
+
+    @property
+    def rot_dim(self) -> int:
+        return 6 if "rot6d" in self.rot_type else 4
+
+    @property
+    def is_allo(self) -> bool:
+        return self.rot_type.startswith("allo")
+
+
+@dataclass
+class LossConfig:
+    pm_lw: float = 1.0
+    pm_loss_type: str = "L1"
+    pm_norm_by_extent: bool = True
+    pm_r_only: bool = True
+    pm_loss_sym: bool = False
+    pm_smooth_l1_beta: float = 1.0
+    num_pm_points: int = 3000
+    centroid_loss: str = "L1"
+    centroid_lw: float = 1.0
+    z_loss: str = "L1"
+    z_lw: float = 1.0
+    rot_lw: float = 0.0
+    rot_loss_type: str = "angular"
+
+
+@dataclass
+class DataConfig:
+    dzi_type: str = "uniform"       # uniform | truncnorm | none
+    dzi_pad_scale: float = 1.5
+    dzi_scale_ratio: float = 0.25
+    dzi_shift_ratio: float = 0.25
+    input_res: int = 256
+    out_res: int = 64
+    pixel_mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    pixel_std: tuple[float, float, float] = (255.0, 255.0, 255.0)
+    color_aug_prob: float = 0.0
+    change_bg_prob: float = 0.0
+    truncate_fg: bool = False
+    filter_visib_thr: float = 0.0
+    train_datasets: tuple[str, ...] = ()
+    train2_datasets: tuple[str, ...] = ()
+    train2_ratio: float = 0.0
+    test_datasets: tuple[str, ...] = ()
+    det_files_test: tuple[str, ...] = ()
+    det_topk_per_obj: int = 1
+
+
+@dataclass
+class SolverConfig:
+    ims_per_batch: int = 24
+    total_epochs: int = 25
+    optimizer: str = "ranger"       # ranger | adamw | sgd
+    base_lr: float = 1e-4
+    weight_decay: float = 0.0
+    lr_scheduler: str = "flat_and_anneal"
+    anneal_method: str = "cosine"
+    anneal_point: float = 0.72
+    warmup_iters: int = 1000
+    warmup_factor: float = 0.001
+    max_grad_norm: float = 0.0      # 0 = off
+    amp: bool = True                # bf16 compute
+
+
+@dataclass
+class TrainRuntimeConfig:
+    checkpoint_period_epochs: float = 5.0
+    max_to_keep: int = 5
+    log_period: int = 100
+    eval_period: int = 0
+    seed: int = 0
+    output_dir: str = "output"
+
+
+@dataclass
+class TestConfig:
+    use_pnp: bool = False
+    pnp_type: str = "ransac_kabsch"  # ransac_kabsch | net
+    test_bbox_type: str = "gt"       # gt | est
+    error_types: str = "ad,adi,AUCad,re,te,proj"
+    eval_precision: bool = False
+
+
+@dataclass
+class Config:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    pnp: PnPConfig = field(default_factory=PnPConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    train: TrainRuntimeConfig = field(default_factory=TrainRuntimeConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    exp_name: str = "rdpn6d"
+
+    # ------------------------------------------------------------------
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def apply_opts(self, opts: list[str]) -> "Config":
+        """CLI dotted overrides: ``solver.base_lr=3e-4 head.num_regions=16``."""
+        cfg = self
+        for opt in opts:
+            key, _, raw = opt.partition("=")
+            parts = key.strip().split(".")
+            try:
+                value = json.loads(raw)
+            except json.JSONDecodeError:
+                value = raw
+            if len(parts) == 1:
+                cfg = dataclasses.replace(cfg, **{parts[0]: value})
+            elif len(parts) == 2:
+                section = dataclasses.replace(
+                    getattr(cfg, parts[0]), **{parts[1]: value})
+                cfg = dataclasses.replace(cfg, **{parts[0]: section})
+            else:
+                raise ValueError(f"opt key too deep: {key}")
+        return cfg
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)
+
+
+def load_config(path: str, opts: list[str] | None = None) -> Config:
+    """Load a python config module exposing ``get_config() -> Config``."""
+    spec = importlib.util.spec_from_file_location("exp_config", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = mod.get_config()
+    if opts:
+        cfg = cfg.apply_opts(opts)
+    return cfg

@@ -1,0 +1,69 @@
+"""Patch-PnP: a small CNN that regresses rotation + centroid/z directly from
+the dense correspondence features.
+
+Counterpart of the reference's ``ConvPnPNet`` (models/conv_pnp_net.py:41-163).
+Input channels are derived from the feature assembly (the reference hardcodes
+nIn=43 at conv_pnp_net.py:73); the coordinate channels are denormalized by the
+per-class extents before the convs exactly when they are raw 3-channel coords
+(conv_pnp_net.py:125-127).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvPnPNet(nn.Module):
+    rot_dim: int = 6
+    featdim: int = 128
+    num_layers: int = 3
+    gn_groups: int = 32
+    norm: str = "GN"
+    denorm_coords_by_extent: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coord_feat, region=None, extents=None,
+                 mask_attention=None, train: bool = False):
+        """coord_feat [B, 64, 64, C]; region [B, 64, 64, K] softmax;
+        extents [B, 3]; mask_attention [B, 64, 64, 1].
+
+        Returns (rot_param [B, rot_dim], trans_param [B, 3]).
+        """
+        x = coord_feat
+        # The reference denormalizes only for bare coord assemblies
+        # (in_c in {3,5,6,8}, conv_pnp_net.py:125-127); richer assemblies
+        # (e.g. 11 = coords+coord2d+region_fps) stay in normalized space.
+        if self.denorm_coords_by_extent and x.shape[-1] in (3, 5, 6, 8):
+            assert extents is not None
+            xyz = (x[..., :3] - 0.5) * extents[:, None, None, :]
+            x = jnp.concatenate([xyz, x[..., 3:]], axis=-1)
+        if region is not None:
+            x = jnp.concatenate([x, region], axis=-1)
+        if mask_attention is not None:
+            x = x * mask_attention  # "mul" attention (conv_pnp_net.py:134-137)
+
+        x = x.astype(self.dtype)
+        for i in range(self.num_layers):
+            stride = 2 if i < 3 else 1  # 64 -> 8 over the first three convs
+            x = nn.Conv(self.featdim, (3, 3), strides=(stride, stride),
+                        padding=1, use_bias=False, dtype=self.dtype)(x)
+            if self.norm == "GN":
+                x = nn.GroupNorm(num_groups=self.gn_groups, dtype=self.dtype,
+                                 param_dtype=jnp.float32)(x)
+            else:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = nn.relu(x)
+
+        x = x.reshape(x.shape[0], -1)  # [B, 8*8*featdim]
+        x = nn.leaky_relu(nn.Dense(1024, dtype=self.dtype)(x), 0.1)
+        x = nn.leaky_relu(nn.Dense(256, dtype=self.dtype)(x), 0.1)
+        rot = nn.Dense(self.rot_dim, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.01))(x)
+        t = nn.Dense(3, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.01))(x)
+        return rot.astype(jnp.float32), t.astype(jnp.float32)

@@ -1,0 +1,91 @@
+"""Decoder heads: dense mask / coordinate / region head and the optional
+translation head.
+
+Counterpart of the reference's ``RotWithRegionHead``
+(models/cdpn_rot_head_region.py:9-198) and ``TransHeadNet``
+(models/cdpn_trans_head.py:8-70). Channel counts are DERIVED from the config
+(the reference hardcodes in_channels=1024 at cdpn_rot_head_region.py:31 —
+SURVEY.md lists that as a quirk not to replicate).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _make_norm(kind: str, gn_groups: int, train: bool, dtype):
+    if kind == "BN":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            dtype=dtype, param_dtype=jnp.float32)
+    if kind == "GN":
+        return nn.GroupNorm(num_groups=gn_groups, dtype=dtype,
+                            param_dtype=jnp.float32)
+    raise ValueError(f"unknown norm: {kind}")
+
+
+class DenseHead(nn.Module):
+    """ConvTranspose x2 upsample (32->64) + num_layers x [conv3x3-norm-relu x2]
+    + 1x1 output conv emitting mask/coord/region channels."""
+
+    mask_dim: int = 1
+    coord_dim: int = 3
+    region_dim: int = 33
+    num_filters: int = 256
+    num_layers: int = 3
+    norm: str = "BN"
+    gn_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x [B, 32, 32, C] -> (mask [B,64,64,Dm], coord [B,64,64,Dc],
+        region [B,64,64,Dr])."""
+        x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
+                             padding="SAME", use_bias=False,
+                             dtype=self.dtype)(x)
+        x = _make_norm(self.norm, self.gn_groups, train, self.dtype)(x)
+        x = nn.relu(x)
+        for i in range(self.num_layers):
+            if i >= 3:  # extra layers upsample further (reference :104)
+                B, H, W, C = x.shape
+                x = jax.image.resize(x, (B, H * 2, W * 2, C), "bilinear")
+            for _ in range(2):
+                x = nn.Conv(self.num_filters, (3, 3), padding=1,
+                            use_bias=False, dtype=self.dtype)(x)
+                x = _make_norm(self.norm, self.gn_groups, train,
+                               self.dtype)(x)
+                x = nn.relu(x)
+        out = nn.Conv(self.mask_dim + self.coord_dim + self.region_dim,
+                      (1, 1), dtype=self.dtype)(x)
+        out = out.astype(jnp.float32)  # logits in f32 for stable losses
+        mask = out[..., : self.mask_dim]
+        coord = out[..., self.mask_dim: self.mask_dim + self.coord_dim]
+        region = out[..., self.mask_dim + self.coord_dim:]
+        return mask, coord, region
+
+
+class TransHead(nn.Module):
+    """Optional direct-translation head (reference TransHeadNet; disabled in
+    all shipped configs, kept for API parity)."""
+
+    num_filters: int = 256
+    num_layers: int = 3
+    norm: str = "BN"
+    gn_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(self.num_layers):
+            x = nn.Conv(self.num_filters, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype)(x)
+            x = _make_norm(self.norm, self.gn_groups, train, self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype)(x))
+        return nn.Dense(3, dtype=self.dtype)(x).astype(jnp.float32)

@@ -1,0 +1,187 @@
+"""RDPN top module: backbone -> fusion -> dense head -> Patch-PnP -> pose.
+
+Counterpart of the reference's ``GDRN`` module (models/GDRN.py:107-371), as a
+single jit-compiled function of fixed-shape batches. Differences by design:
+
+  * NHWC layout, bf16-policy compute, f32 logits/poses.
+  * Pose recovery (centroid/z + allo->ego) stays ON-DEVICE and identical in
+    train and test — the reference detours through per-sample numpy at test
+    (pose_from_pred_centroid_z.py:110-141).
+  * The region->FPS gather (GDRN.py:206-218) is a take_along_axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..geometry import ortho6d_to_mat, quat_to_mat, recover_pose_centroid_z
+from ..ops.binning import expected_coord_from_bins
+from ..ops.region import gather_region_fps
+from .conv_pnp import ConvPnPNet
+from .heads import DenseHead
+from .pointnet import SpatialPointNet
+from .resnet import ResNetTrunk
+
+
+class RDPN(nn.Module):
+    """Flagship dense point-wise pose network."""
+
+    cfg: Config
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, batch: dict[str, jax.Array], train: bool = False):
+        cfg = self.cfg
+        head_cfg, pnp_cfg = cfg.head, cfg.pnp
+        out_res = head_cfg.out_res
+
+        roi_img = batch["roi_img"]          # [B, 256, 256, 6] rgb+depth_xyz
+        rgb = roi_img[..., :3].astype(self.dtype)
+        depth_xyz = roi_img[..., 3:6]
+
+        # trunk on RGB; XYZ joins at 32x32 via the pointnet fusion
+        feat = ResNetTrunk(cfg.backbone.depth, dtype=self.dtype,
+                           name="backbone")(rgb, train=train)   # [B,8,8,512]
+        B, h8, w8, c = feat.shape
+        feat = jax.image.resize(feat, (B, h8 * 4, w8 * 4, c), "bilinear")
+        xyz32 = jax.image.resize(
+            depth_xyz, (B, h8 * 4, w8 * 4, 3), "nearest").astype(self.dtype)
+        fused = SpatialPointNet(dtype=self.dtype, name="spatial_net")(
+            feat, xyz32, train=train)                            # [B,32,32,1024]
+
+        mask_logits, coord_out, region_logits = DenseHead(
+            mask_dim=head_cfg.mask_dim,
+            coord_dim=head_cfg.coord_dim,
+            region_dim=head_cfg.region_dim,
+            num_filters=head_cfg.num_filters,
+            num_layers=head_cfg.num_layers,
+            norm=head_cfg.norm,
+            gn_groups=head_cfg.gn_groups,
+            dtype=self.dtype,
+            name="dense_head",
+        )(fused, train=train)
+
+        # ------------------------------------------------------------------
+        # assemble Patch-PnP input (GDRN.py:192-233)
+        if head_cfg.xyz_loss == "CE_coor":
+            nb = head_cfg.xyz_bin
+            lx = coord_out[..., 0 * (nb + 1): 1 * (nb + 1)]
+            ly = coord_out[..., 1 * (nb + 1): 2 * (nb + 1)]
+            lz = coord_out[..., 2 * (nb + 1): 3 * (nb + 1)]
+            coord3 = jnp.stack([
+                expected_coord_from_bins(lx, nb),
+                expected_coord_from_bins(ly, nb),
+                expected_coord_from_bins(lz, nb),
+            ], axis=-1)
+        else:
+            coord3 = coord_out  # [B, 64, 64, 3] normalized residual coords
+
+        feats = [coord3]
+        if pnp_cfg.with_2d_coord:
+            feats.append(batch["roi_coord_2d"])  # [B,64,64,5] dxyz/4 + uv
+
+        region_softmax = jax.nn.softmax(
+            region_logits[..., 1:], axis=-1)     # drop bg channel
+        region_ids = jnp.argmax(region_softmax, axis=-1)  # [B,64,64]
+        region_fps = gather_region_fps(batch["fps"], region_ids)
+        feats.append(region_fps)
+
+        coord_feat = jnp.concatenate(feats, axis=-1)
+
+        mask_atten = None
+        if pnp_cfg.mask_attention == "mul":
+            mask_atten = _mask_prob(mask_logits, head_cfg.mask_loss)
+        elif pnp_cfg.mask_attention == "concat":
+            coord_feat = jnp.concatenate(
+                [coord_feat, _mask_prob(mask_logits, head_cfg.mask_loss)],
+                axis=-1)
+
+        region_atten = region_softmax if pnp_cfg.region_attention else None
+
+        rot_param, t_param = ConvPnPNet(
+            rot_dim=pnp_cfg.rot_dim,
+            featdim=pnp_cfg.featdim,
+            num_layers=pnp_cfg.num_layers,
+            gn_groups=pnp_cfg.gn_groups,
+            norm=pnp_cfg.norm,
+            dtype=self.dtype,
+            name="pnp_net",
+        )(coord_feat, region=region_atten, extents=batch["roi_extent"],
+          mask_attention=mask_atten, train=train)
+
+        # ------------------------------------------------------------------
+        # rot param -> matrix; centroid/z -> egocentric pose (on-device)
+        if "rot6d" in pnp_cfg.rot_type:
+            rot_m = ortho6d_to_mat(rot_param)
+        else:
+            rot_m = quat_to_mat(rot_param)
+
+        rot_ego, trans = recover_pose_centroid_z(
+            rot_m,
+            centroid_rel=t_param[:, :2],
+            z_rel=t_param[:, 2],
+            K=batch["roi_cam"],
+            bbox_center=batch["bbox_center"],
+            bbox_wh=batch["roi_wh"],
+            resize_ratio=batch["resize_ratio"],
+            z_type=pnp_cfg.z_type,
+            is_allo=pnp_cfg.is_allo,
+        )
+
+        return {
+            "mask_logits": mask_logits,       # [B,64,64,Dm]
+            "coord": coord3,                  # [B,64,64,3]
+            "coord_out": coord_out,           # raw (bins if CE mode)
+            "region_logits": region_logits,   # [B,64,64,K+1]
+            "rot_param": rot_param,
+            "rot_mat": rot_m,                 # allocentric (or ego) as regressed
+            "centroid_rel": t_param[:, :2],
+            "z_rel": t_param[:, 2],
+            "rot_ego": rot_ego,               # [B,3,3]
+            "trans": trans,                   # [B,3]
+        }
+
+
+def _mask_prob(mask_logits: jax.Array, mask_loss: str) -> jax.Array:
+    """Visibility probability map from head output (model_utils.py:6-22)."""
+    if mask_loss == "L1":
+        return mask_logits[..., :1]  # trained directly against 0/1 targets
+    if mask_loss == "BCE":
+        return jax.nn.sigmoid(mask_logits[..., :1])
+    if mask_loss == "CE":
+        return jax.nn.softmax(mask_logits, axis=-1)[..., 1:2]
+    raise ValueError(mask_loss)
+
+
+def init_model(cfg: Config, rng: jax.Array, batch_size: int = 2,
+               dtype: Any = jnp.bfloat16):
+    """Initialize model + variables with a dummy batch."""
+    model = RDPN(cfg, dtype=dtype)
+    batch = dummy_batch(cfg, batch_size)
+    variables = model.init(rng, batch, train=False)
+    return model, variables
+
+
+def dummy_batch(cfg: Config, batch_size: int = 2) -> dict[str, jax.Array]:
+    """Minimal correctly-shaped input batch (for init / smoke / bench)."""
+    res = cfg.backbone.input_res
+    out = cfg.head.out_res
+    K = cfg.head.num_regions
+    b = batch_size
+    return {
+        "roi_img": jnp.zeros((b, res, res, 6), jnp.float32),
+        "roi_coord_2d": jnp.zeros((b, out, out, 5), jnp.float32),
+        "fps": jnp.zeros((b, K, 3), jnp.float32),
+        "roi_extent": jnp.ones((b, 3), jnp.float32),
+        "roi_cam": jnp.tile(jnp.asarray(
+            [[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]],
+            jnp.float32), (b, 1, 1)),
+        "bbox_center": jnp.full((b, 2), 128.0, jnp.float32),
+        "roi_wh": jnp.full((b, 2), 128.0, jnp.float32),
+        "resize_ratio": jnp.full((b,), out / 128.0, jnp.float32),
+    }

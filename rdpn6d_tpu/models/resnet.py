@@ -1,0 +1,108 @@
+"""ResNet trunk, flax.linen, NHWC (TPU-native conv layout).
+
+Counterpart of the reference's ``models/resnet_backbone.py`` (spec table
+:15-21, trunk :264-340). The trunk consumes the RGB half of the 6-channel
+ROI; the depth-XYZ half feeds the PointNet fusion branch (see
+``pointnet.py``). Compute dtype is a policy parameter: bf16 activations with
+f32 params/batch-stats is the TPU sweet spot; norm statistics always reduce
+in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+RESNET_SPECS: dict[int, tuple[str, Sequence[int]]] = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            param_dtype=jnp.float32)
+        residual = x
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype)(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype)(y)
+        y = norm()(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            param_dtype=jnp.float32)
+        out_planes = self.planes * 4
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = norm()(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(out_planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetTrunk(nn.Module):
+    """conv7x7/2 + maxpool/2 + 4 stages. 256^2 input -> 8x8 final feature."""
+
+    depth: int = 34
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 return_skips: bool = False):
+        block_kind, layers = RESNET_SPECS[self.depth]
+        block: Callable = BasicBlock if block_kind == "basic" else Bottleneck
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        skips = []
+        for stage, (planes, n_blocks) in enumerate(
+                zip((64, 128, 256, 512), layers)):
+            for i in range(n_blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                x = block(planes, stride, dtype=self.dtype)(x, train=train)
+            skips.append(x)
+
+        if return_skips:
+            return x, skips[:-1]
+        return x

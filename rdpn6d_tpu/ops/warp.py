@@ -1,0 +1,109 @@
+"""On-device ROI crop-resize with the CenterNet affine convention.
+
+Counterpart of the reference's cv2-based ``crop_resize_by_warp_affine`` /
+``get_affine_transform`` (core/utils/data_utils.py:81-152). With rot=0 and a
+square source window (the only configuration the training/test pipelines use,
+data_loader.py:813-816), the CenterNet transform reduces to a pure uniform
+scale-and-translate:
+
+    dst_x = r * (src_x - cx) + out_w / 2,   r = out_w / scale
+    dst_y = r * (src_y - cy) + out_h / 2
+
+so the crop is implemented as a vmappable gather-based resampler instead of a
+host cv2.warpAffine call. Bilinear matches cv2.INTER_LINEAR with
+BORDER_CONSTANT(0); nearest matches cv2.INTER_NEAREST (round-half-up).
+Pixel centers sit at integer coordinates (cv2 convention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def crop_affine(center: jax.Array, scale: jax.Array,
+                out_size: int) -> jax.Array:
+    """2x3 src->dst affine for a square crop. center [..., 2], scale [...]."""
+    r = out_size / scale
+    zeros = jnp.zeros_like(r)
+    row0 = jnp.stack([r, zeros, out_size / 2.0 - r * center[..., 0]], axis=-1)
+    row1 = jnp.stack([zeros, r, out_size / 2.0 - r * center[..., 1]], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def _src_coords(center, scale, out_size):
+    """Per-output-pixel source coordinates (sx, sy), each [out, out]."""
+    r = scale / out_size  # inverse scale
+    grid = jnp.arange(out_size, dtype=jnp.float32) - out_size / 2.0
+    sx = center[0] + grid * r  # [out]
+    sy = center[1] + grid * r
+    return sx, sy
+
+
+@partial(jax.jit, static_argnames=("out_size", "interp"))
+def crop_resize(img: jax.Array, center: jax.Array, scale: jax.Array,
+                out_size: int, interp: str = "bilinear") -> jax.Array:
+    """Crop a square window (center, side=scale) and resize to out_size^2.
+
+    img: [H, W, C] (or [H, W]); center: [2] (x, y); scale: scalar side length.
+    Returns [out_size, out_size, C] (or [out_size, out_size]).
+    Out-of-bounds samples are zero (cv2 BORDER_CONSTANT).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W = img.shape[0], img.shape[1]
+    sx, sy = _src_coords(center.astype(jnp.float32),
+                         jnp.asarray(scale, jnp.float32), out_size)
+
+    if interp == "nearest":
+        ix = jnp.floor(sx + 0.5).astype(jnp.int32)
+        iy = jnp.floor(sy + 0.5).astype(jnp.int32)
+        vx = (ix >= 0) & (ix < W)
+        vy = (iy >= 0) & (iy < H)
+        ix = jnp.clip(ix, 0, W - 1)
+        iy = jnp.clip(iy, 0, H - 1)
+        out = img[iy[:, None], ix[None, :], :]
+        out = out * (vy[:, None, None] & vx[None, :, None])
+    elif interp == "bilinear":
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = (sx - x0)[None, :, None]  # [1, out, 1]
+        fy = (sy - y0)[:, None, None]  # [out, 1, 1]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def tap(yi, xi):
+            v = ((xi >= 0) & (xi < W))[None, :, None] & \
+                ((yi >= 0) & (yi < H))[:, None, None]
+            g = img[jnp.clip(yi, 0, H - 1)[:, None],
+                    jnp.clip(xi, 0, W - 1)[None, :], :]
+            return g * v
+
+        out = (tap(y0i, x0i) * (1 - fy) * (1 - fx)
+               + tap(y0i, x0i + 1) * (1 - fy) * fx
+               + tap(y0i + 1, x0i) * fy * (1 - fx)
+               + tap(y0i + 1, x0i + 1) * fy * fx)
+    else:
+        raise ValueError(f"unknown interp: {interp}")
+    return out[..., 0] if squeeze else out
+
+
+def crop_resize_batch(imgs: jax.Array, centers: jax.Array, scales: jax.Array,
+                      out_size: int, interp: str = "bilinear") -> jax.Array:
+    """vmap of crop_resize over a leading ROI batch dim (one image per ROI)."""
+    return jax.vmap(lambda im, c, s: crop_resize(im, c, s, out_size, interp))(
+        imgs, centers, scales)
+
+
+def crop_rois_from_frame(img: jax.Array, centers: jax.Array,
+                         scales: jax.Array, out_size: int,
+                         interp: str = "bilinear") -> jax.Array:
+    """Crop MANY ROIs out of ONE frame (test path: all detections per image).
+
+    img [H, W, C]; centers [R, 2]; scales [R] -> [R, out, out, C].
+    """
+    return jax.vmap(lambda c, s: crop_resize(img, c, s, out_size, interp))(
+        centers, scales)

@@ -1,0 +1,50 @@
+"""Device-mesh utilities for SPMD data parallelism over ICI.
+
+Counterpart of the reference's distributed story (SURVEY.md §2.12): there,
+Lightning Lite wraps DDP over NCCL (main_gdrn.py:136-163). Here the same
+capability is a 1-axis ``jax.sharding.Mesh``: batches are sharded over the
+``data`` axis, parameters are replicated, and XLA inserts the gradient
+all-reduce — no launcher, no process groups. The model is a ~30M-param CNN,
+so data parallelism is the only scaling axis needed (SURVEY.md §2.12); the
+mesh helper still accepts extra axes for forward-compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: int | None = None,
+                axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """1-D (default) mesh over the first n_devices devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devs).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dim sharding for input batches."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict[str, Any], mesh: Mesh,
+                axis: str = "data") -> dict[str, Any]:
+    """Place every array in the batch with its leading dim sharded."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

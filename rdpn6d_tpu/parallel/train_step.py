@@ -1,0 +1,122 @@
+"""Jitted SPMD train / eval steps.
+
+Counterpart of the reference's iteration body (engine.py:249-313): forward +
+loss + backward + optimizer step + scheduler, but as ONE compiled XLA program
+per step. With the batch sharded over the mesh's ``data`` axis and the state
+replicated, XLA emits the gradient all-reduce over ICI (the reference's DDP /
+NCCL allreduce). Loss reduction for logging rides the same program — no
+separate ``comm.reduce_dict`` round (engine.py:300).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..losses import compute_losses
+from ..models import RDPN
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(cfg: Config, variables: dict[str, Any],
+                       tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(cfg: Config, model: RDPN,
+                    tx: optax.GradientTransformation) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, batch: dict[str, jax.Array]):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"])
+            losses = compute_losses(cfg, out, batch)
+            total = sum(losses.values())
+            return total, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, model: RDPN) -> Callable:
+    """Returns jitted (state, batch) -> pose outputs (R_ego, t, mask, ...)."""
+
+    def eval_fn(state: TrainState, batch: dict[str, jax.Array]):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False)
+        return {
+            "rot_ego": out["rot_ego"],
+            "trans": out["trans"],
+            "mask_prob": out["mask_logits"][..., 0],
+            "coord": out["coord"],
+            "region_logits": out["region_logits"],
+        }
+
+    return jax.jit(eval_fn)
+
+
+def make_sharded_train_step(cfg: Config, model: RDPN,
+                            tx: optax.GradientTransformation,
+                            mesh: Mesh) -> Callable:
+    """Build the train step jitted directly with mesh shardings."""
+
+    def step_fn(state, batch):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"])
+            losses = compute_losses(cfg, out, batch)
+            return sum(losses.values()), (losses, mutated["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    state_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn,
+                   in_shardings=(state_sh, batch_sh),
+                   out_shardings=(state_sh, state_sh),
+                   donate_argnums=(0,))

@@ -1,0 +1,45 @@
+"""Optimizers and LR schedules (counterpart of lib/torch_utils/solver/)."""
+
+from __future__ import annotations
+
+import optax
+
+from ..config import Config
+from .ranger import centralize_gradients, lookahead, ranger, scale_by_radam_rectified
+from .schedule import flat_and_anneal, warmup_multistep
+
+__all__ = ["ranger", "lookahead", "centralize_gradients",
+           "scale_by_radam_rectified", "flat_and_anneal", "warmup_multistep",
+           "build_optimizer", "build_schedule"]
+
+
+def build_schedule(cfg: Config, total_iters: int):
+    s = cfg.solver
+    if s.lr_scheduler == "flat_and_anneal":
+        return flat_and_anneal(
+            s.base_lr, total_iters, warmup_iters=s.warmup_iters,
+            warmup_factor=s.warmup_factor, anneal_point=s.anneal_point,
+            anneal_method=s.anneal_method)
+    if s.lr_scheduler == "warmup_multistep":
+        return warmup_multistep(
+            s.base_lr, milestones=(int(total_iters * 2 / 3),
+                                   int(total_iters * 8 / 9)),
+            warmup_iters=s.warmup_iters, warmup_factor=s.warmup_factor)
+    raise ValueError(s.lr_scheduler)
+
+
+def build_optimizer(cfg: Config, total_iters: int
+                    ) -> optax.GradientTransformation:
+    s = cfg.solver
+    schedule = build_schedule(cfg, total_iters)
+    if s.optimizer == "ranger":
+        opt = ranger(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "adamw":
+        opt = optax.adamw(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "sgd":
+        opt = optax.sgd(schedule, momentum=0.9)
+    else:
+        raise ValueError(s.optimizer)
+    if s.max_grad_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(s.max_grad_norm), opt)
+    return opt

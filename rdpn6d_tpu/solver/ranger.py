@@ -1,0 +1,158 @@
+"""Ranger optimizer (RAdam + Lookahead + Gradient Centralization) in optax.
+
+Counterpart of the reference's ``lib/torch_utils/solver/ranger.py`` — the
+optimizer every shipped RDPN config trains with
+(``OPTIMIZER_CFG=dict(type="Ranger", lr=1e-4)``,
+configs/gdrn/lm/a6_cPnP_lm13.py:28). Re-derived as pure optax transforms:
+
+  * gradient centralization: subtract the per-filter gradient mean for any
+    parameter with ndim > 1 (ranger.py:144-145);
+  * RAdam: rectified Adam — SGD-with-momentum steps while the variance
+    estimate is not yet tractable (N_sma <= threshold), rectified adaptive
+    steps afterwards (ranger.py:154-186);
+  * Lookahead: every k steps pull the fast weights toward a slow EMA copy
+    (ranger.py:192-199) — implemented branchlessly with jnp.where so the
+    update jits into the SPMD train step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def centralize_gradients() -> optax.GradientTransformation:
+    """Per-filter mean subtraction for params with ndim > 1."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def gc(g):
+            if g.ndim > 1:
+                axes = tuple(range(1, g.ndim))
+                return g - jnp.mean(g, axis=axes, keepdims=True)
+            return g
+
+        return jax.tree_util.tree_map(gc, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class RAdamState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_radam_rectified(b1: float = 0.95, b2: float = 0.999,
+                             eps: float = 1e-5,
+                             n_sma_threshold: float = 5.0
+                             ) -> optax.GradientTransformation:
+    """RAdam scaling with the Ranger variant's thresholded rectification.
+
+    Note the Ranger defaults differ from stock Adam: betas=(.95, .999),
+    eps=1e-5 (ranger.py:31-38).
+    """
+
+    def init_fn(params):
+        return RAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+
+        t = count.astype(jnp.float32)
+        beta2_t = b2 ** t
+        n_sma_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        rect = jnp.sqrt(
+            (1.0 - beta2_t) * (n_sma - 4.0) / (n_sma_max - 4.0)
+            * (n_sma - 2.0) / n_sma * n_sma_max / (n_sma_max - 2.0)
+        ) / (1.0 - b1 ** t)
+        plain = 1.0 / (1.0 - b1 ** t)
+        use_adaptive = n_sma > n_sma_threshold
+        step_size = jnp.where(use_adaptive, rect, plain)
+
+        def upd(m, v):
+            adaptive = m / (jnp.sqrt(v) + eps)
+            return step_size * jnp.where(use_adaptive, adaptive, m)
+
+        new_updates = jax.tree_util.tree_map(upd, mu, nu)
+        return new_updates, RAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class LookaheadState(NamedTuple):
+    count: chex.Array
+    slow: optax.Params
+
+
+def lookahead(alpha: float = 0.5, k: int = 6) -> optax.GradientTransformation:
+    """Branchless Lookahead wrapper operating on the UPDATE stream.
+
+    Every k-th step the emitted update is adjusted so the resulting fast
+    params land on slow + alpha * (fast_new - slow), and the slow copy is
+    refreshed; otherwise the update passes through.
+    """
+
+    def init_fn(params):
+        return LookaheadState(
+            count=jnp.zeros([], jnp.int32),
+            slow=jax.tree_util.tree_map(jnp.copy, params),
+        )
+
+    def update_fn(updates, state, params):
+        assert params is not None, "lookahead requires params"
+        count = state.count + 1
+        sync = (count % k) == 0
+
+        def adj(u, p, s):
+            fast_new = p + u
+            synced = s + alpha * (fast_new - s)
+            new_u = jnp.where(sync, synced - p, u)
+            new_s = jnp.where(sync, synced, s)
+            return new_u, new_s
+
+        flat_u, tdef = jax.tree_util.tree_flatten(updates)
+        flat_p = tdef.flatten_up_to(params)
+        flat_s = tdef.flatten_up_to(state.slow)
+        out = [adj(u, p, s) for u, p, s in zip(flat_u, flat_p, flat_s)]
+        new_updates = tdef.unflatten([o[0] for o in out])
+        new_slow = tdef.unflatten([o[1] for o in out])
+        return new_updates, LookaheadState(count=count, slow=new_slow)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ranger(learning_rate: optax.ScalarOrSchedule, b1: float = 0.95,
+           b2: float = 0.999, eps: float = 1e-5, alpha: float = 0.5,
+           k: int = 6, n_sma_threshold: float = 5.0,
+           weight_decay: float = 0.0,
+           use_gc: bool = True) -> optax.GradientTransformation:
+    """The full Ranger chain: GC -> RAdam -> weight decay -> lr -> Lookahead."""
+    chain = []
+    if use_gc:
+        chain.append(centralize_gradients())
+    chain.append(scale_by_radam_rectified(b1, b2, eps, n_sma_threshold))
+    if weight_decay > 0:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_learning_rate(learning_rate))
+    chain.append(lookahead(alpha, k))
+    return optax.chain(*chain)

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: model-graph compiles dominate test wall-clock
+# on this 1-core host; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Numerical tests verify geometry to ~1e-5; keep matmuls in full f32 here
 # (the model path opts into bf16 explicitly via its own dtype policy).
 jax.config.update("jax_default_matmul_precision", "highest")
