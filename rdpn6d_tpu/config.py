@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
-@dataclass
+@dataclass(frozen=True)
 class BackboneConfig:
     depth: int = 34                 # 18/34/50/101/152
     input_res: int = 256
@@ -27,7 +27,7 @@ class BackboneConfig:
     pretrained: str = ""            # path to converted torchvision npz, or ""
 
 
-@dataclass
+@dataclass(frozen=True)
 class HeadConfig:
     num_filters: int = 256
     num_layers: int = 3
@@ -60,7 +60,7 @@ class HeadConfig:
         return self.num_regions + 1
 
 
-@dataclass
+@dataclass(frozen=True)
 class PnPConfig:
     featdim: int = 128
     num_layers: int = 3
@@ -83,7 +83,7 @@ class PnPConfig:
         return self.rot_type.startswith("allo")
 
 
-@dataclass
+@dataclass(frozen=True)
 class LossConfig:
     pm_lw: float = 1.0
     pm_loss_type: str = "L1"
@@ -100,7 +100,7 @@ class LossConfig:
     rot_loss_type: str = "angular"
 
 
-@dataclass
+@dataclass(frozen=True)
 class DataConfig:
     dzi_type: str = "uniform"       # uniform | truncnorm | none
     dzi_pad_scale: float = 1.5
@@ -122,7 +122,7 @@ class DataConfig:
     det_topk_per_obj: int = 1
 
 
-@dataclass
+@dataclass(frozen=True)
 class SolverConfig:
     ims_per_batch: int = 24
     total_epochs: int = 25
@@ -138,7 +138,7 @@ class SolverConfig:
     amp: bool = True                # bf16 compute
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainRuntimeConfig:
     checkpoint_period_epochs: float = 5.0
     max_to_keep: int = 5
@@ -148,7 +148,7 @@ class TrainRuntimeConfig:
     output_dir: str = "output"
 
 
-@dataclass
+@dataclass(frozen=True)
 class TestConfig:
     use_pnp: bool = False
     pnp_type: str = "ransac_kabsch"  # ransac_kabsch | net
@@ -157,7 +157,7 @@ class TestConfig:
     eval_precision: bool = False
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     head: HeadConfig = field(default_factory=HeadConfig)
@@ -183,6 +183,8 @@ class Config:
                 value = json.loads(raw)
             except json.JSONDecodeError:
                 value = raw
+            if isinstance(value, list):  # keep configs hashable (jit static)
+                value = tuple(value)
             if len(parts) == 1:
                 cfg = dataclasses.replace(cfg, **{parts[0]: value})
             elif len(parts) == 2:

@@ -1,0 +1,192 @@
+"""On-device preprocessing graph: frame -> training-ready ROI tensors.
+
+THE key TPU-first translation (SURVEY.md §7 step 4). The reference does all
+of this per-sample in python dataloader workers — cv2.warpAffine crops,
+numpy back-projection, scipy cdist region labels
+(core/gdrn_modeling/data_loader.py:338-1022). Here the whole chain is ONE
+jitted, vmapped-over-ROIs XLA program:
+
+    DZI bbox jitter -> square crop (bilinear/nearest gathers)
+    -> pixel normalize -> depth / resize_ratio -> back-project with the
+    crop-composed intrinsics (data_loader.py:744-763's newCameraK = A @ K)
+    -> 2D coord map -> masks -> xyz -> region + rotated-residual labels
+    (data_loader.py:881-903) -> pose targets (trans_ratio,
+    data_loader.py:1005-1010).
+
+Host workers only decode PNGs and stack fixed-shape frame tensors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..geometry import ego_to_allo_mat, mat_to_ortho6d
+from ..ops.binning import quantize_coords
+from ..ops.region import residual_coord_target
+from ..ops.warp import crop_affine, crop_resize
+
+
+def dzi_jitter(key: jax.Array, bbox_xyxy: jax.Array, im_hw: tuple[int, int],
+               dzi_type: str = "uniform", pad_scale: float = 1.5,
+               scale_ratio: float = 0.25, shift_ratio: float = 0.25,
+               enable: bool = True) -> tuple[jax.Array, jax.Array]:
+    """Dynamic-zoom-in box jitter (base_data_loader.py:120-152, uniform mode).
+
+    bbox_xyxy [4] -> (center [2], scale []). ``enable=False`` gives the
+    deterministic test-time box (center, max-side * pad_scale).
+    """
+    x1, y1, x2, y2 = bbox_xyxy[0], bbox_xyxy[1], bbox_xyxy[2], bbox_xyxy[3]
+    cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+    bw, bh = x2 - x1, y2 - y1
+    side = jnp.maximum(bh, bw)
+    if enable and dzi_type == "uniform":
+        r = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
+        s = (1.0 + scale_ratio * r[0])
+        center = jnp.stack([cx + bw * shift_ratio * r[1],
+                            cy + bh * shift_ratio * r[2]])
+        scale = side * s * pad_scale
+    else:
+        center = jnp.stack([cx, cy])
+        scale = side * pad_scale
+    scale = jnp.minimum(scale, float(max(im_hw)))
+    return center, scale
+
+
+def coord_2d_map(height: int, width: int) -> jax.Array:
+    """Full-frame normalized 2D coordinate map [H, W, 2] in [0, 1]
+    (core/utils/data_utils.py get_2d_coord_np)."""
+    x = jnp.linspace(0.0, 1.0, width)
+    y = jnp.linspace(0.0, 1.0, height)
+    xx, yy = jnp.meshgrid(x, y)
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def _backproject_crop(depth_crop: jax.Array, K: jax.Array,
+                      center: jax.Array, scale: jax.Array,
+                      input_res: int, out_res: int) -> jax.Array:
+    """depth crop [S, S] -> camera-frame XYZ [S, S, 3] via the crop-warped
+    intrinsics, with the reference's depth /= resize_ratio convention
+    (data_loader.py:753-763)."""
+    A = crop_affine(center, scale, input_res)
+    Kc = jnp.concatenate(
+        [A, jnp.asarray([[0.0, 0.0, 1.0]], A.dtype)], axis=0) @ K
+    resize_ratio = out_res / scale
+    d = depth_crop / resize_ratio
+    u = jnp.arange(input_res, dtype=d.dtype)
+    uu, vv = jnp.meshgrid(u, u)
+    x = (uu - Kc[0, 2]) * d / Kc[0, 0]
+    y = (vv - Kc[1, 2]) * d / Kc[1, 1]
+    return jnp.stack([x, y, d], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "train"))
+def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
+                   key: jax.Array, train: bool = True
+                   ) -> dict[str, jax.Array]:
+    """One ROI's full preprocessing. All inputs are full-frame tensors:
+
+    sample: rgb [H,W,3] (0..255), depth [H,W] (m), K [3,3], bbox [4],
+            xyz [H,W,3] (model-frame GT map; train), mask_visib [H,W],
+            gt_rot [3,3], gt_trans [3], fps [K,3], extent [3],
+            centroid_2d [2].
+    vmap over a leading batch axis for many ROIs.
+    """
+    d = cfg.data
+    input_res, out_res = d.input_res, d.out_res
+    H, W = sample["rgb"].shape[0], sample["rgb"].shape[1]
+
+    center, scale = dzi_jitter(
+        key, sample["bbox"], (H, W), d.dzi_type, d.dzi_pad_scale,
+        d.dzi_scale_ratio, d.dzi_shift_ratio, enable=train)
+    bw = jnp.maximum(sample["bbox"][2] - sample["bbox"][0], 1.0)
+    bh = jnp.maximum(sample["bbox"][3] - sample["bbox"][1], 1.0)
+    resize_ratio = out_res / scale
+
+    # RGB crop + pixel normalization -----------------------------------
+    rgb = crop_resize(sample["rgb"], center, scale, input_res, "bilinear")
+    mean = jnp.asarray(d.pixel_mean)
+    std = jnp.asarray(d.pixel_std)
+    rgb = (rgb - mean) / std
+
+    # depth crop -> camera-frame XYZ -----------------------------------
+    depth_crop = crop_resize(sample["depth"], center, scale, input_res,
+                             "bilinear")
+    depth_xyz = _backproject_crop(depth_crop, sample["K"], center, scale,
+                                  input_res, out_res)
+
+    roi_img = jnp.concatenate([rgb, depth_xyz], axis=-1)  # [256,256,6]
+
+    # 5-channel coord feature at out_res (data_loader.py:832-836) ------
+    coord2d = crop_resize(coord_2d_map(H, W), center, scale, out_res,
+                          "bilinear")
+    stride = input_res // out_res
+    roi_coord_2d = jnp.concatenate(
+        [depth_xyz[::stride, ::stride, :], coord2d], axis=-1)
+
+    out = {
+        "roi_img": roi_img,
+        "roi_coord_2d": roi_coord_2d,
+        "roi_cam": sample["K"],
+        "bbox_center": center,
+        "scale": scale,
+        "roi_wh": jnp.stack([bw, bh]),
+        "resize_ratio": resize_ratio,
+        "fps": sample["fps"],
+        "roi_extent": sample["extent"],
+    }
+    if not train:
+        return out
+
+    # masks (nearest, data_loader.py:846-866) --------------------------
+    xyz_full = sample["xyz"]
+    mask_obj = ((xyz_full[..., 0] != 0) | (xyz_full[..., 1] != 0)
+                | (xyz_full[..., 2] != 0)).astype(jnp.float32)
+    mask_visib = sample["mask_visib"] * mask_obj
+    roi_mask_visib = crop_resize(mask_visib, center, scale, out_res,
+                                 "nearest")
+    roi_mask_obj = crop_resize(mask_obj, center, scale, out_res, "nearest")
+    roi_mask_trunc = roi_mask_visib  # trunc == visib without bg replacement
+
+    # xyz crop -> region + rotated residual (data_loader.py:874-903) ---
+    roi_xyz_raw = crop_resize(xyz_full, center, scale, out_res, "nearest")
+    region, coord = residual_coord_target(
+        roi_xyz_raw, sample["fps"], sample["gt_rot"], sample["extent"])
+
+    # pose targets (data_loader.py:946-1010) ---------------------------
+    t = sample["gt_trans"]
+    delta_c = sample["centroid_2d"] - center
+    trans_ratio = jnp.stack(
+        [delta_c[0] / bw, delta_c[1] / bh, t[2] / resize_ratio])
+    rot_allo = ego_to_allo_mat(t[None], sample["gt_rot"][None])[0]
+
+    out.update({
+        "roi_mask_trunc": roi_mask_trunc,
+        "roi_mask_visib": roi_mask_visib,
+        "roi_mask_obj": roi_mask_obj,
+        "roi_xyz": coord,
+        "roi_region": region,
+        "gt_rot": sample["gt_rot"],
+        "gt_trans": t,
+        "trans_ratio": trans_ratio,
+        "gt_allo_rot6d": mat_to_ortho6d(rot_allo),
+    })
+    if cfg.head.xyz_loss == "CE_coor":
+        masks = {"trunc": roi_mask_trunc, "visib": roi_mask_visib,
+                 "obj": roi_mask_obj}
+        out["roi_xyz_bin"] = quantize_coords(
+            coord, masks[cfg.head.xyz_loss_mask], cfg.head.xyz_bin)
+    return out
+
+
+def preprocess_batch(cfg: Config, samples: dict[str, jax.Array],
+                     key: jax.Array, train: bool = True
+                     ) -> dict[str, jax.Array]:
+    """vmapped preprocessing over a leading ROI-batch axis."""
+    n = samples["rgb"].shape[0]
+    keys = jax.random.split(key, n)
+    return jax.vmap(
+        lambda s, k: preprocess_roi(cfg, s, k, train))(samples, keys)

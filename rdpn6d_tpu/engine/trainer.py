@@ -1,0 +1,97 @@
+"""Training loop.
+
+Counterpart of the reference's ``GDRN_Lite.do_train`` (engine.py:158-375):
+iteration loop over an infinite batched loader (with optional TRAIN2
+stochastic mixing), one jitted SPMD step per iteration, periodic writers,
+checkpointing and eval — minus the Lightning/DDP scaffolding (the mesh IS
+the distribution mechanism).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Iterator
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..models import RDPN
+from ..parallel import (
+    create_mesh,
+    create_train_state,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+)
+from ..solver import build_optimizer, build_schedule
+from .checkpoint import CheckpointManager
+from .writers import ConsoleWriter, JsonWriter, MetricBuffer, TensorboardWriter
+
+logger = logging.getLogger("rdpn6d")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, model: RDPN,
+                 variables: dict[str, Any], total_iters: int,
+                 mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.total_iters = total_iters
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.tx = build_optimizer(cfg, total_iters)
+        self.schedule = build_schedule(cfg, total_iters)
+        self.state = replicate(
+            create_train_state(cfg, variables, self.tx), self.mesh)
+        self.step_fn = make_sharded_train_step(cfg, model, self.tx,
+                                               self.mesh)
+        out_dir = cfg.train.output_dir
+        self.ckpt = CheckpointManager(f"{out_dir}/ckpt",
+                                      cfg.train.max_to_keep)
+        self.buf = MetricBuffer()
+        self.console = ConsoleWriter(total_iters)
+        self.json_writer = JsonWriter(f"{out_dir}/metrics.json")
+        self.tb = TensorboardWriter(f"{out_dir}/tb")
+
+    def resume(self) -> int:
+        self.state, start = self.ckpt.resume_or_load(self.state, resume=True)
+        if start:
+            logger.info(f"resumed from iteration {start}")
+        return start
+
+    def train(self, loader: Iterator[dict], start_iter: int = 0,
+              loader2: Iterator[dict] | None = None,
+              train2_ratio: float = 0.0,
+              eval_fn: Callable[[Any, int], None] | None = None,
+              rng: np.random.RandomState | None = None) -> Any:
+        cfg = self.cfg
+        rng = rng or np.random.RandomState(cfg.train.seed)
+        ckpt_period = max(int(self.total_iters
+                              * cfg.train.checkpoint_period_epochs
+                              / max(cfg.solver.total_epochs, 1)), 1)
+
+        for it in range(start_iter, self.total_iters):
+            # TRAIN2 stochastic mixing (engine.py:253-256)
+            use2 = loader2 is not None and rng.rand() < train2_ratio
+            batch = next(loader2 if use2 else loader)
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.step_fn(self.state, batch)
+
+            if (it + 1) % cfg.train.log_period == 0 or it == start_iter:
+                host = {k: float(v) for k, v in metrics.items()}
+                total = host.get("total_loss", 0.0)
+                if not np.isfinite(total):  # engine.py:297 NaN guard
+                    raise FloatingPointError(
+                        f"non-finite total loss at iter {it}: {host}")
+                self.buf.update(host)
+                lr = float(self.schedule(it))
+                self.console.write(it + 1, self.buf, lr)
+                self.json_writer.write(it + 1, {**host, "lr": lr})
+                self.tb.write(it + 1, host)
+
+            if (it + 1) % ckpt_period == 0 or (it + 1) == self.total_iters:
+                self.ckpt.save(it + 1, jax.device_get(self.state))
+            if eval_fn is not None and cfg.train.eval_period > 0 \
+                    and (it + 1) % cfg.train.eval_period == 0:
+                eval_fn(self.state, it + 1)
+        return self.state

@@ -1,0 +1,101 @@
+"""Metric writers: console, JSON-lines, TensorBoard.
+
+Counterpart of the reference's EventStorage writer trio
+(core/utils/my_writer.py:14-266): MyCommonMetricPrinter (console with ETA),
+MyJSONWriter (metrics.json lines), MyTensorboardXWriter. TensorBoard output
+uses tf.summary when tensorflow is importable, otherwise it is skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from collections import defaultdict, deque
+from typing import Any
+
+logger = logging.getLogger("rdpn6d")
+
+
+class MetricBuffer:
+    """Rolling median/latest store (EventStorage's smoothing role)."""
+
+    def __init__(self, window: int = 20):
+        self._hist: dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=window))
+
+    def update(self, metrics: dict[str, float]) -> None:
+        for k, v in metrics.items():
+            self._hist[k].append(float(v))
+
+    def median(self, key: str) -> float:
+        h = sorted(self._hist[key])
+        return h[len(h) // 2] if h else 0.0
+
+    def latest(self, key: str) -> float:
+        return self._hist[key][-1] if self._hist[key] else 0.0
+
+    def keys(self):
+        return self._hist.keys()
+
+
+class ConsoleWriter:
+    """ETA / losses / lr line printer (my_writer.py:109-199)."""
+
+    def __init__(self, max_iter: int):
+        self.max_iter = max_iter
+        self._start = time.time()
+        self._start_iter: int | None = None
+
+    def write(self, step: int, buf: MetricBuffer, lr: float) -> None:
+        if self._start_iter is None:
+            self._start_iter = step
+            self._start = time.time()
+        done = max(step - self._start_iter, 1)
+        rate = (time.time() - self._start) / done
+        eta = rate * (self.max_iter - step)
+        losses = "  ".join(
+            f"{k}: {buf.median(k):.4f}" for k in sorted(buf.keys())
+            if k.startswith("loss") or k == "total_loss")
+        logger.info(
+            f"iter {step}/{self.max_iter}  eta {eta / 60:.1f}m  "
+            f"{rate:.3f}s/it  lr {lr:.2e}  {losses}")
+
+
+class JsonWriter:
+    """metrics.json lines (my_writer.py MyJSONWriter)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "a")
+
+    def write(self, step: int, metrics: dict[str, Any]) -> None:
+        row = {"iteration": step}
+        row.update({k: float(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class TensorboardWriter:
+    """Scalar summaries through tf.summary (my_writer.py TBX writer)."""
+
+    def __init__(self, logdir: str):
+        try:
+            import tensorflow as tf  # noqa: PLC0415
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(logdir)
+        except Exception:  # pragma: no cover - tf optional
+            self._tf = None
+            self._writer = None
+
+    def write(self, step: int, metrics: dict[str, Any]) -> None:
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            for k, v in metrics.items():
+                self._tf.summary.scalar(k, float(v), step=step)
+            self._writer.flush()

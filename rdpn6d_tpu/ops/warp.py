@@ -59,8 +59,10 @@ def crop_resize(img: jax.Array, center: jax.Array, scale: jax.Array,
                          jnp.asarray(scale, jnp.float32), out_size)
 
     if interp == "nearest":
-        ix = jnp.floor(sx + 0.5).astype(jnp.int32)
-        iy = jnp.floor(sy + 0.5).astype(jnp.int32)
+        # round-half-to-even matches cv2.warpAffine INTER_NEAREST's
+        # fixed-point rounding on exact .5 ties
+        ix = jnp.round(sx).astype(jnp.int32)
+        iy = jnp.round(sy).astype(jnp.int32)
         vx = (ix >= 0) & (ix < W)
         vy = (iy >= 0) & (iy < H)
         ix = jnp.clip(ix, 0, W - 1)
