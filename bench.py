@@ -29,35 +29,57 @@ from rdpn6d_tpu.models import RDPN, dummy_batch
 BASELINE_POSES_PER_SEC = 100.0
 
 
-def main() -> None:
-    cfg = Config()
-    batch_size = 64
-    model = RDPN(cfg, dtype=jnp.bfloat16)
-    batch = dummy_batch(cfg, batch_size)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+def _measure(model, variables, batch_size: int, cfg,
+             n_iters: int = 10) -> float:
+    # distinct inputs per iteration + a scalar host readback per iteration:
+    # guards against any execution caching/async shortcut in the device
+    # relay that would otherwise fake the timing
+    key = jax.random.PRNGKey(0)
+    batches = []
+    for i in range(4):
+        b = dict(dummy_batch(cfg, batch_size))
+        b["roi_img"] = jax.random.normal(
+            jax.random.fold_in(key, i),
+            (batch_size, cfg.backbone.input_res, cfg.backbone.input_res, 6),
+            jnp.float32)
+        batches.append(b)
 
     @jax.jit
     def forward(variables, batch):
         out = model.apply(variables, batch, train=False)
-        return out["rot_ego"], out["trans"]
+        return out["rot_ego"], out["trans"], jnp.sum(out["trans"])
 
-    # warmup / compile
-    r, t = forward(variables, batch)
-    jax.block_until_ready((r, t))
+    for i in range(2):  # warmup / compile
+        jax.block_until_ready(forward(variables, batches[i % 4]))
 
-    n_iters = 20
     start = time.perf_counter()
-    for _ in range(n_iters):
-        r, t = forward(variables, batch)
-    jax.block_until_ready((r, t))
+    sink = 0.0
+    for i in range(n_iters):
+        r, t, s = forward(variables, batches[i % 4])
+        sink += float(s)  # forces device round-trip
     elapsed = time.perf_counter() - start
+    assert sink == sink, "NaN sink"
+    return batch_size * n_iters / elapsed
 
-    poses_per_sec = batch_size * n_iters / elapsed
+
+def main() -> None:
+    cfg = Config()
+    model = RDPN(cfg, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
+                           train=False)
+
+    best_bs, best = 0, 0.0
+    for bs in (64, 128, 256):
+        pps = _measure(model, variables, bs, cfg)
+        if pps > best:
+            best_bs, best = bs, pps
+
     print(json.dumps({
-        "metric": "poses/sec/chip end-to-end RGB-D->6DoF (ResNet34 256px, bs64)",
-        "value": round(poses_per_sec, 2),
+        "metric": "poses/sec/chip end-to-end RGB-D->6DoF "
+                  f"(ResNet34 256px, best bs={best_bs})",
+        "value": round(best, 2),
         "unit": "poses/sec",
-        "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 3),
+        "vs_baseline": round(best / BASELINE_POSES_PER_SEC, 3),
     }))
 
 

@@ -1,0 +1,113 @@
+"""Per-class model assets: points, extents, FPS keypoints, symmetries.
+
+Counterpart of the reference's lazily-cached per-dataset asset getters
+(_get_model_points / _get_fps_points / _get_extents / _get_sym_infos,
+data_loader.py:209-335): loads eval meshes, samples a fixed number of
+points for the PM loss (NUM_PM_POINTS, gdrn_base.py:85), builds
+identity-padded symmetry banks, and stacks everything class-major so a
+batch can gather by ``roi_cls`` on device.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..geometry.symmetry import pad_symmetries, symmetry_rotations
+from ..ops.fps import get_fps_and_center
+from .inout import load_ply
+from .refs import DatasetRef
+
+
+@dataclass
+class ClassAssets:
+    """Class-major stacked arrays, indexable by cls_idx."""
+    obj_ids: list[int]
+    points: np.ndarray        # [C, N, 3]
+    extents: np.ndarray       # [C, 3]
+    fps_points: np.ndarray    # [C, K, 3]
+    sym_rots: np.ndarray      # [C, S, 3, 3] identity-padded
+    diameters: np.ndarray     # [C]
+
+    def for_obj(self, obj_id: int) -> dict[str, np.ndarray]:
+        i = self.obj_ids.index(obj_id)
+        return {"points": self.points[i], "extent": self.extents[i],
+                "fps": self.fps_points[i], "sym_rots": self.sym_rots[i],
+                "diameter": self.diameters[i]}
+
+
+def sample_points(pts: np.ndarray, n: int, seed: int = 2021) -> np.ndarray:
+    """Deterministic fixed-count point subsample (with replacement iff
+    needed)."""
+    rng = np.random.RandomState(seed)
+    if len(pts) >= n:
+        idx = rng.choice(len(pts), n, replace=False)
+    else:
+        idx = rng.choice(len(pts), n, replace=True)
+    return pts[idx]
+
+
+def load_class_assets(ref: DatasetRef, num_regions: int = 32,
+                      num_pm_points: int = 3000,
+                      max_sym_disc_step: float = 0.01,
+                      objs: list[str] | None = None) -> ClassAssets:
+    """Build the full asset bank for a dataset from its model directory.
+
+    Falls back to computing FPS keypoints with our FPS kernel when the
+    precomputed fps_points.pkl is absent (the reference hard-requires the
+    pkl, ref/ycbv.py:104-109).
+    """
+    obj_ids = [ref.obj2id[o] for o in (objs or ref.objects)]
+    info = ref.models_info()
+    try:
+        fps_pkl = ref.fps_points(num_regions)
+    except (FileNotFoundError, KeyError):
+        fps_pkl = None
+
+    pts_l, ext_l, fps_l, sym_l, dia_l = [], [], [], [], []
+    for oid in obj_ids:
+        mi = info[str(oid)]
+        ply = load_ply(ref.model_path(oid), vertex_scale=ref.vertex_scale)
+        pts = ply["pts"].astype(np.float32)
+        pts_l.append(sample_points(pts, num_pm_points))
+        ext_l.append(np.array([mi["size_x"], mi["size_y"], mi["size_z"]],
+                              np.float32) / 1000.0)
+        if fps_pkl is not None and oid in fps_pkl:
+            fps = fps_pkl[oid][:num_regions]
+        else:
+            fps = get_fps_and_center(pts, num_regions)[:-1]
+        fps_l.append(fps.astype(np.float32))
+        sym = symmetry_rotations(mi, max_sym_disc_step) \
+            if ("symmetries_discrete" in mi
+                or "symmetries_continuous" in mi) else None
+        sym_l.append(sym)
+        dia_l.append(mi.get("diameter", 0.0) / 1000.0)
+
+    return ClassAssets(
+        obj_ids=obj_ids,
+        points=np.stack(pts_l),
+        extents=np.stack(ext_l),
+        fps_points=np.stack(fps_l),
+        sym_rots=pad_symmetries(sym_l),
+        diameters=np.asarray(dia_l, np.float32),
+    )
+
+
+def synthetic_class_assets(num_regions: int = 32,
+                           num_pm_points: int = 256) -> ClassAssets:
+    """Cube-only asset bank for tests/smoke (no dataset on disk)."""
+    from .synthetic import cube_points
+    from ..ops.fps import fps_numpy
+
+    pts = cube_points()
+    fps = pts[fps_numpy(pts, num_regions)]
+    return ClassAssets(
+        obj_ids=[1],
+        points=sample_points(pts, num_pm_points)[None],
+        extents=np.array([[0.1, 0.1, 0.1]], np.float32),
+        fps_points=fps[None],
+        sym_rots=pad_symmetries([None]),
+        diameters=np.asarray([0.1 * np.sqrt(3)], np.float32),
+    )

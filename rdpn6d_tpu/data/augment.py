@@ -1,0 +1,133 @@
+"""Color augmentation: a safe declarative, JAX-native pipeline.
+
+Counterpart of the reference's ``eval``-ed imgaug code strings
+(base_data_loader.py:194-239 — SURVEY.md flags the eval() as a quirk not to
+replicate) and the AAE augmentor. The shipped pipelines
+(configs/gdrn/mp6d/a.py:10-24, lm/a6_cPnP_lm13.py:8-19) compose, each with a
+probability: GaussianBlur, Add, Invert, Multiply (optionally per-channel),
+LinearContrast, CoarseDropout. Here the same ops are pure jax functions
+driven by an ``AugSpec`` tuple — jit/vmap-safe, deterministic under a PRNG
+key, running on device alongside the preprocessing graph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class AugOp:
+    kind: str                       # blur | add | invert | multiply | contrast | dropout
+    prob: float = 0.5
+    lo: float = 0.0
+    hi: float = 1.0
+    per_channel: float = 0.0        # probability of sampling per channel
+
+
+# the shipped "code" pipeline (mp6d/a.py + lm13 configs)
+DEFAULT_AUG: tuple[AugOp, ...] = (
+    AugOp("dropout", prob=0.5, lo=0.2, hi=0.05),   # p=0.2, size_percent=0.05
+    AugOp("blur", prob=0.5, lo=0.0, hi=1.2),
+    AugOp("add", prob=0.5, lo=-25.0, hi=25.0, per_channel=0.3),
+    AugOp("invert", prob=0.3, lo=0.2, hi=0.2, per_channel=1.0),
+    AugOp("multiply", prob=0.5, lo=0.6, hi=1.4, per_channel=0.5),
+    AugOp("multiply", prob=0.5, lo=0.6, hi=1.4),
+    AugOp("contrast", prob=0.5, lo=0.5, hi=2.2, per_channel=0.3),
+)
+
+
+def _gaussian_kernel(sigma: jax.Array, radius: int = 3) -> jax.Array:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-3)) ** 2)
+    k = jnp.where(sigma < 1e-3, (x == 0).astype(jnp.float32), k)
+    return k / jnp.sum(k)
+
+
+def _sep_conv(img, k):
+    pad = len(k) // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="edge")
+    x = jax.vmap(jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
+                          in_axes=1, out_axes=1), in_axes=2, out_axes=2)(x)
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    x = jax.vmap(jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"),
+                          in_axes=0, out_axes=0), in_axes=2, out_axes=2)(x)
+    return x
+
+
+def _channel_value(key, op: AugOp, nch: int):
+    """Sample a value per-channel with probability op.per_channel else
+    shared."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    per = jax.random.bernoulli(k1, op.per_channel)
+    v_ch = jax.random.uniform(k2, (nch,), minval=op.lo, maxval=op.hi)
+    v_sh = jax.random.uniform(k3, (), minval=op.lo, maxval=op.hi)
+    return jnp.where(per, v_ch, v_sh)
+
+
+def _apply_op(img: jax.Array, key: jax.Array, op: AugOp) -> jax.Array:
+    """img [H, W, 3] in 0..255."""
+    kp, kv = jax.random.split(key)
+    nch = img.shape[-1]
+    if op.kind == "blur":
+        out = _sep_conv(img, _gaussian_kernel(
+            jax.random.uniform(kv, (), minval=op.lo, maxval=op.hi)))
+    elif op.kind == "add":
+        out = img + _channel_value(kv, op, nch)
+    elif op.kind == "multiply":
+        out = img * _channel_value(kv, op, nch)
+    elif op.kind == "invert":
+        k1, k2 = jax.random.split(kv)
+        flip = jax.random.bernoulli(k1, op.lo, (nch,))
+        out = jnp.where(flip, 255.0 - img, img)
+    elif op.kind == "contrast":
+        v = _channel_value(kv, op, nch)
+        out = (img - 127.5) * v + 127.5
+    elif op.kind == "dropout":
+        # CoarseDropout(p, size_percent): zero coarse cells
+        H, W = img.shape[0], img.shape[1]
+        ch, cw = max(int(H * op.hi), 1), max(int(W * op.hi), 1)
+        k1 = kv
+        grid = jax.random.bernoulli(k1, op.lo, (ch, cw))
+        mask = jax.image.resize(grid.astype(img.dtype), (H, W), "nearest")
+        out = img * (1.0 - mask[..., None])
+    else:
+        raise ValueError(op.kind)
+    on = jax.random.bernoulli(kp, op.prob)
+    return jnp.where(on, jnp.clip(out, 0.0, 255.0), img)
+
+
+@partial(jax.jit, static_argnames=("ops",))
+def color_augment(img: jax.Array, key: jax.Array,
+                  ops: tuple[AugOp, ...] = DEFAULT_AUG) -> jax.Array:
+    """Apply the augmentation pipeline to one [H, W, 3] image (0..255)."""
+    keys = jax.random.split(key, len(ops))
+    for op, k in zip(ops, keys):
+        img = _apply_op(img, k, op)
+    return img
+
+
+def replace_background(rgb: jax.Array, fg_mask: jax.Array,
+                       bg_img: jax.Array, key: jax.Array,
+                       prob: float = 0.5,
+                       truncate_fg: bool = False) -> jax.Array:
+    """Swap the background (and optionally truncate the foreground) with a
+    provided background image (base_data_loader.py:320-364). bg_img must be
+    pre-resized to rgb's shape on the host."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    mask = fg_mask[..., None]
+    if truncate_fg:
+        # zero a random half-plane of the object (TRUNCATE_FG)
+        H, W = rgb.shape[0], rgb.shape[1]
+        side = jax.random.randint(k2, (), 0, 4)
+        cut = jax.random.uniform(k3, (), minval=0.3, maxval=0.7)
+        yy, xx = jnp.meshgrid(jnp.linspace(0, 1, H), jnp.linspace(0, 1, W),
+                              indexing="ij")
+        keep = jnp.stack([xx < cut, xx > cut, yy < cut, yy > cut])[side]
+        mask = mask * keep[..., None]
+    out = rgb * mask + bg_img * (1 - mask)
+    on = jax.random.bernoulli(k1, prob)
+    return jnp.where(on, out, rgb)

@@ -1,0 +1,173 @@
+"""Host-side data loading: decode, batch, prefetch; device does the rest.
+
+Counterpart of the reference's torch DataLoader + GDRN_DatasetFromList
+(data_loader.py:1046-1159) but inverted: the host ONLY decodes PNGs and
+stacks fixed-shape frame tensors; every geometric/label transform runs in
+the jitted on-device pipeline (data/pipeline.py). Prefetching overlaps host
+decode with device compute via a background thread.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator
+
+import numpy as np
+
+from ..config import Config
+from .bop import build_split_records, get_split
+from .refs import get_ref
+from .assets import ClassAssets
+from .sampler import InfiniteSampler
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+
+
+def _imread_depth(path: str, depth_factor: float) -> np.ndarray:
+    import cv2
+
+    d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if d is None:
+        raise FileNotFoundError(path)
+    return d.astype(np.float32) / depth_factor
+
+
+def _imread_mask(path: str) -> np.ndarray:
+    import cv2
+
+    m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    return (m > 0).astype(np.float32) if m is not None else None
+
+
+def load_xyz_crop(path: str, im_h: int, im_w: int) -> np.ndarray:
+    """Paste a precomputed xyz_crop pkl into a full-frame map
+    (data_loader.py:652-659)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        info = pickle.load(f)
+    x1, y1, x2, y2 = info["xyxy"]
+    full = np.zeros((im_h, im_w, 3), np.float32)
+    full[y1:y2 + 1, x1:x2 + 1] = info["xyz_crop"].astype(np.float32)
+    return full
+
+
+class RecordDecoder:
+    """record dict -> full-frame numpy sample for the device pipeline."""
+
+    def __init__(self, cfg: Config, assets: "ClassAssets",
+                 num_pm_points: int | None = None):
+        self.cfg = cfg
+        self.assets = assets
+        self.num_pm_points = num_pm_points or cfg.loss.num_pm_points
+
+    def __call__(self, rec: dict[str, Any]) -> dict[str, np.ndarray]:
+        H, W = rec["height"], rec["width"]
+        rgb = _imread_rgb(rec["rgb_path"])
+        depth = _imread_depth(rec["depth_path"], rec["depth_factor"])
+        K = rec["K"]
+        R, t = rec["R"], rec["t"]
+
+        import os
+        if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
+            xyz = load_xyz_crop(rec["xyz_path"], H, W)
+        else:
+            # depth-derived fallback: model-frame coords of VISIBLE surface
+            # xyz = R^T (p_cam - t) on the measured depth, masked
+            mask = _imread_mask(rec.get("mask_visib_path", "")) \
+                if rec.get("mask_visib_path") else None
+            u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                               np.arange(H, dtype=np.float32))
+            z = depth
+            pc = np.stack([(u - K[0, 2]) * z / K[0, 0],
+                           (v - K[1, 2]) * z / K[1, 1], z], -1)
+            xyz = (pc - t) @ R  # = R^T (p - t)
+            m = (z > 1e-6)
+            if mask is not None:
+                m = m & (mask > 0)
+            xyz *= m[..., None]
+
+        mask_visib = _imread_mask(rec.get("mask_visib_path", ""))
+        if mask_visib is None:
+            mask_visib = (np.abs(xyz).sum(-1) > 0).astype(np.float32)
+
+        bbox = rec.get("bbox_visib")
+        if bbox is None:
+            ys, xs = np.nonzero(mask_visib)
+            bbox = np.array([xs.min(), ys.min(), xs.max(), ys.max()],
+                            np.float32)
+        elif bbox.shape[0] == 4 and rec.get("bbox_mode", "xywh") == "xywh":
+            bbox = np.array([bbox[0], bbox[1], bbox[0] + bbox[2],
+                             bbox[1] + bbox[3]], np.float32)
+
+        proj = K @ t
+        a = self.assets.for_obj(rec["obj_id"])
+        n_pm = self.num_pm_points
+        return {
+            "rgb": rgb,
+            "depth": depth,
+            "xyz": xyz.astype(np.float32),
+            "mask_visib": mask_visib,
+            "K": K.astype(np.float32),
+            "bbox": bbox.astype(np.float32),
+            "gt_rot": R.astype(np.float32),
+            "gt_trans": t.astype(np.float32),
+            "fps": a["fps"].astype(np.float32),
+            "extent": a["extent"].astype(np.float32),
+            "centroid_2d": (proj[:2] / proj[2]).astype(np.float32),
+            "roi_points": a["points"][:n_pm].astype(np.float32),
+            "sym_rots": a["sym_rots"].astype(np.float32),
+            "roi_cls": np.int32(rec["cls_idx"]),
+        }
+
+
+def _stack(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def train_frame_iterator(cfg: Config, split_name: str,
+                         decoder: RecordDecoder | None = None,
+                         batch_size: int | None = None,
+                         seed: int = 0,
+                         cache_dir: str | None = None,
+                         num_prefetch: int = 2) -> Iterator[dict]:
+    """Infinite iterator of stacked frame batches ready for
+    ``preprocess_batch``. Decoding runs in a prefetch thread."""
+    split = get_split(split_name)
+    records = build_split_records(split, cache_dir=cache_dir, flatten=True)
+    if not records:
+        raise RuntimeError(f"split {split_name} produced no records")
+    ref = get_ref(split.ref_name)
+    if decoder is None:
+        from .assets import load_class_assets
+        assets = load_class_assets(ref, cfg.head.num_regions,
+                                   cfg.loss.num_pm_points)
+        decoder = RecordDecoder(cfg, assets)
+    bs = batch_size or cfg.solver.ims_per_batch
+    sampler = InfiniteSampler(len(records), seed=seed)
+
+    q: queue.Queue = queue.Queue(maxsize=num_prefetch)
+
+    def producer():
+        batch = []
+        for idx in sampler:
+            try:
+                batch.append(decoder(records[idx]))
+            except (FileNotFoundError, OSError):
+                continue  # skip unreadable frames (reference _rand_another)
+            if len(batch) == bs:
+                q.put(_stack(batch))
+                batch = []
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    while True:
+        yield q.get()

@@ -138,6 +138,10 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
         "fps": sample["fps"],
         "roi_extent": sample["extent"],
     }
+    # pass through per-class loss assets when the host attached them
+    for k in ("roi_points", "sym_rots", "roi_cls"):
+        if k in sample:
+            out[k] = sample[k]
     if not train:
         return out
 

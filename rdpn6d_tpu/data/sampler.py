@@ -1,0 +1,77 @@
+"""Samplers: infinite shuffled, repeat-factor, sharded inference.
+
+Counterpart of the reference's ``core/utils/my_distributed_sampler.py``
+(TrainingSampler :12-54, RepeatFactorTrainingSampler :57-169,
+InferenceSampler :172-200). Sharding here is per-HOST (jax.process_index)
+rather than per-GPU-rank: devices within a host consume one stacked batch
+that the mesh splits.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Iterator
+
+import numpy as np
+
+
+class InfiniteSampler:
+    """Infinite shuffled index stream, optionally host-sharded."""
+
+    def __init__(self, size: int, shuffle: bool = True, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1):
+        assert size > 0
+        self.size = size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+
+    def __iter__(self) -> Iterator[int]:
+        return itertools.islice(self._infinite(), self.shard_id, None,
+                                self.num_shards)
+
+    def _infinite(self) -> Iterator[int]:
+        rng = np.random.RandomState(self.seed)
+        while True:
+            order = rng.permutation(self.size) if self.shuffle \
+                else np.arange(self.size)
+            yield from order.tolist()
+
+
+class RepeatFactorSampler(InfiniteSampler):
+    """Oversample rare categories: repeat factor
+    max(1, sqrt(thr / freq(c))) per record (my_distributed_sampler.py:57-169).
+    """
+
+    def __init__(self, category_ids: list[int], repeat_thresh: float,
+                 shuffle: bool = True, seed: int = 0, shard_id: int = 0,
+                 num_shards: int = 1):
+        cats = np.asarray(category_ids)
+        n = len(cats)
+        freqs = {c: np.sum(cats == c) / n for c in np.unique(cats)}
+        cat_repeat = {c: max(1.0, math.sqrt(repeat_thresh / f))
+                      for c, f in freqs.items()}
+        rep = np.array([cat_repeat[c] for c in cats])
+        # stochastic rounding of fractional parts
+        rng = np.random.RandomState(seed)
+        rounded = np.floor(rep) + (rng.rand(n) < (rep - np.floor(rep)))
+        self._indices = np.repeat(np.arange(n), rounded.astype(int))
+        super().__init__(len(self._indices), shuffle, seed, shard_id,
+                         num_shards)
+
+    def _infinite(self) -> Iterator[int]:
+        rng = np.random.RandomState(self.seed)
+        while True:
+            order = rng.permutation(self.size) if self.shuffle \
+                else np.arange(self.size)
+            yield from self._indices[order].tolist()
+
+
+def inference_shards(size: int, shard_id: int = 0,
+                     num_shards: int = 1) -> list[int]:
+    """Contiguous per-host split covering every index exactly once."""
+    per = (size + num_shards - 1) // num_shards
+    start = shard_id * per
+    return list(range(start, min(start + per, size)))

@@ -1,0 +1,77 @@
+"""Inference driver: timed evaluation over a test split.
+
+Counterpart of the reference's ``gdrn_inference_on_dataset``
+(gdrn_evaluator.py:573-690): warmup-aware wall-clock split into compute vs
+post-process, per-ROI pose extraction, evaluator feeding, BOP CSV export.
+The pose path (including allo->ego) is on-device; only the final [B,3,3] /
+[B,3] pose tensors cross to the host.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Iterator
+
+import numpy as np
+
+from ..config import Config
+from ..data.inout import save_bop_results_csv
+from ..evaluation import PoseEvaluator, format_table
+
+logger = logging.getLogger("rdpn6d")
+
+
+def inference_on_dataset(
+    eval_step: Callable,
+    state: Any,
+    batches: Iterator[tuple[dict, list[dict]]],
+    evaluator: PoseEvaluator,
+    num_warmup: int = 2,
+) -> dict[str, float]:
+    """batches yields (device_batch, metadata_rows); metadata_rows[i] must
+    carry obj_name/scene_id/im_id/R_gt/t_gt/K for evaluator.process."""
+    total_compute = 0.0
+    total_process = 0.0
+    n_rois = 0
+    for i, (batch, meta) in enumerate(batches):
+        t0 = time.perf_counter()
+        out = eval_step(state, batch)
+        rot = np.asarray(out["rot_ego"])  # blocks
+        trans = np.asarray(out["trans"])
+        t1 = time.perf_counter()
+        for j, row in enumerate(meta):
+            evaluator.process(
+                row["obj_name"], rot[j], trans[j], row["R_gt"], row["t_gt"],
+                row["K"], scene_id=row.get("scene_id", 0),
+                im_id=row.get("im_id", 0),
+                time=(t1 - t0) / max(len(meta), 1))
+        t2 = time.perf_counter()
+        if i >= num_warmup:
+            total_compute += t1 - t0
+            total_process += t2 - t1
+            n_rois += len(meta)
+    if n_rois:
+        logger.info(
+            f"inference: {n_rois} rois, "
+            f"{1000 * total_compute / n_rois:.2f} ms/roi compute, "
+            f"{1000 * total_process / n_rois:.3f} ms/roi process, "
+            f"{n_rois / max(total_compute + total_process, 1e-9):.1f} "
+            "poses/sec")
+    return {
+        "compute_s": total_compute,
+        "process_s": total_process,
+        "n_rois": n_rois,
+    }
+
+
+def evaluate_and_report(evaluator: PoseEvaluator, cfg: Config,
+                        obj2id: dict[str, int] | None = None,
+                        csv_path: str | None = None) -> dict[str, Any]:
+    """Score + log table + optional BOP19 CSV (test_utils.py:33-75)."""
+    result = evaluator.evaluate()
+    logger.info("\n" + format_table(result))
+    if csv_path and obj2id is not None:
+        save_bop_results_csv(csv_path, evaluator.bop_rows(obj2id))
+        logger.info(f"wrote BOP19 CSV: {csv_path}")
+    return result

@@ -1,0 +1,102 @@
+"""CLI entry: train / eval a config.
+
+Counterpart of the reference's ``core/gdrn_modeling/main_gdrn.py`` +
+train/test shell scripts: ``python -m rdpn6d_tpu.main --config-file CFG
+[--eval-only] [--resume] [--opts k=v ...]``. No launcher/DDP plumbing — the
+device mesh covers all local chips automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="rdpn6d_tpu")
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="0 = all visible devices")
+    p.add_argument("--opts", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def setup_logging(output_dir: str) -> None:
+    os.makedirs(output_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+        handlers=[logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(output_dir, "log.txt"))],
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from .config import load_config
+    from .data.loader import train_frame_iterator
+    from .data.pipeline import preprocess_batch
+    from .engine.trainer import Trainer
+    from .models import RDPN, dummy_batch
+    from .parallel import create_mesh
+
+    cfg = load_config(args.config_file, args.opts)
+    setup_logging(cfg.train.output_dir)
+    logger = logging.getLogger("rdpn6d")
+    cfg.dump(os.path.join(cfg.train.output_dir, "config.json"))
+    logger.info(f"devices: {jax.devices()}")
+
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = create_mesh(n_dev)
+
+    model = RDPN(cfg, dtype=jnp.bfloat16 if cfg.solver.amp else jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.train.seed),
+                           dummy_batch(cfg, 2), train=False)
+    if cfg.backbone.pretrained:
+        from .utils.torch_convert import load_pretrained_backbone
+        variables = load_pretrained_backbone(variables,
+                                             cfg.backbone.pretrained)
+
+    if args.eval_only:
+        raise SystemExit(
+            "eval-only requires a dataset on disk; use "
+            "tools/eval_split.py for the scripted path")
+
+    # epochs -> iterations (engine.py:179-186 epoch semantics)
+    split = cfg.data.train_datasets[0]
+    from .data.bop import build_split_records, get_split
+    n_records = len(build_split_records(
+        get_split(split), cache_dir=f"{cfg.train.output_dir}/cache"))
+    iters_per_epoch = max(n_records // cfg.solver.ims_per_batch, 1)
+    total_iters = iters_per_epoch * cfg.solver.total_epochs
+    logger.info(f"{n_records} records, {iters_per_epoch} iters/epoch, "
+                f"{total_iters} total iters")
+
+    trainer = Trainer(cfg, model, variables, total_iters, mesh=mesh)
+    start = trainer.resume() if args.resume else 0
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+
+    def device_batches():
+        nonlocal key
+        for frames in train_frame_iterator(
+                cfg, split, cache_dir=f"{cfg.train.output_dir}/cache"):
+            key, sub = jax.random.split(key)
+            batch = preprocess_batch(
+                cfg, {k: jnp.asarray(v) for k, v in frames.items()}, sub,
+                train=True)
+            yield batch
+
+    trainer.train(device_batches(), start_iter=start)
+    logger.info("training complete")
+
+
+if __name__ == "__main__":
+    main()
