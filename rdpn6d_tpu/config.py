@@ -73,6 +73,7 @@ class PnPConfig:
     with_2d_coord: bool = True      # concat [depth_xyz/4 ; 2d coords] (5 ch)
     region_attention: bool = True
     mask_attention: str = "mul"     # none | mul | concat
+    pnp_head: str = "ConvPnPNet"    # ConvPnPNet | SimplePointPnP | PointPnP
 
     @property
     def rot_dim(self) -> int:
@@ -98,6 +99,7 @@ class LossConfig:
     z_lw: float = 1.0
     rot_lw: float = 0.0
     rot_loss_type: str = "angular"
+    use_mtl: bool = False           # uncertainty multi-task weighting
 
 
 @dataclass(frozen=True)

@@ -82,4 +82,11 @@ def compute_losses(cfg: Config, out: dict[str, jax.Array],
         losses["loss_z"] = jnp.mean(jnp.abs(
             out["z_rel"] - batch["trans_ratio"][:, 2])) * l.z_lw
 
+    # MTL uncertainty re-weighting (GDRN.py:626-632)
+    if l.use_mtl:
+        for name in ("mask", "coor_x", "coor_y", "coor_z", "region"):
+            key, s = f"loss_{name}", out.get(f"log_var_{name}")
+            if key in losses and s is not None:
+                losses[key] = losses[key] * jnp.exp(-s) + s
+
     return losses

@@ -103,16 +103,25 @@ class RDPN(nn.Module):
 
         region_atten = region_softmax if pnp_cfg.region_attention else None
 
-        rot_param, t_param = ConvPnPNet(
-            rot_dim=pnp_cfg.rot_dim,
-            featdim=pnp_cfg.featdim,
-            num_layers=pnp_cfg.num_layers,
-            gn_groups=pnp_cfg.gn_groups,
-            norm=pnp_cfg.norm,
-            dtype=self.dtype,
-            name="pnp_net",
-        )(coord_feat, region=region_atten, extents=batch["roi_extent"],
-          mask_attention=mask_atten, train=train)
+        if pnp_cfg.pnp_head == "ConvPnPNet":
+            pnp_net = ConvPnPNet(
+                rot_dim=pnp_cfg.rot_dim, featdim=pnp_cfg.featdim,
+                num_layers=pnp_cfg.num_layers, gn_groups=pnp_cfg.gn_groups,
+                norm=pnp_cfg.norm, dtype=self.dtype, name="pnp_net")
+        elif pnp_cfg.pnp_head == "SimplePointPnP":
+            from .point_pnp import SimplePointPnP
+            pnp_net = SimplePointPnP(rot_dim=pnp_cfg.rot_dim,
+                                     dtype=self.dtype, name="pnp_net")
+        elif pnp_cfg.pnp_head == "PointPnP":
+            from .point_pnp import PointPnP
+            pnp_net = PointPnP(rot_dim=pnp_cfg.rot_dim,
+                               num_regions=head_cfg.num_regions,
+                               dtype=self.dtype, name="pnp_net")
+        else:
+            raise ValueError(pnp_cfg.pnp_head)
+        rot_param, t_param = pnp_net(
+            coord_feat, region=region_atten, extents=batch["roi_extent"],
+            mask_attention=mask_atten, train=train)
 
         # ------------------------------------------------------------------
         # rot param -> matrix; centroid/z -> egocentric pose (on-device)
@@ -133,7 +142,16 @@ class RDPN(nn.Module):
             is_allo=pnp_cfg.is_allo,
         )
 
+        out_extra = {}
+        if cfg.loss.use_mtl:
+            # uncertainty multi-task weighting params (GDRN.py:76-105):
+            # loss_i * exp(-s_i) + s_i with s_i = log sigma_i^2
+            for name in ("mask", "coor_x", "coor_y", "coor_z", "region"):
+                out_extra[f"log_var_{name}"] = self.param(
+                    f"log_var_{name}", nn.initializers.zeros, (1,))[0]
+
         return {
+            **out_extra,
             "mask_logits": mask_logits,       # [B,64,64,Dm]
             "coord": coord3,                  # [B,64,64,3]
             "coord_out": coord_out,           # raw (bins if CE mode)

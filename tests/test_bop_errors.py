@@ -1,0 +1,83 @@
+"""MSSD/MSPD/VSD golden tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdpn6d_tpu.evaluation.bop_errors import mspd, mssd, vsd
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def test_mssd_symmetry_aware():
+    a = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    pts = np.stack([np.cos(a), np.sin(a), np.zeros_like(a)],
+                   -1).astype(np.float32) * 0.05
+    # 4-fold symmetric object: syms = rotz(k*pi/2)
+    syms = np.stack([_rotz(k * np.pi / 2) for k in range(4)])
+    R_gt = np.eye(3, dtype=np.float32)
+    R_est = _rotz(np.pi / 2)  # exactly one symmetry step
+    t = np.zeros(3, np.float32)
+    e = mssd(jnp.asarray(R_est), jnp.asarray(t), jnp.asarray(R_gt),
+             jnp.asarray(t), jnp.asarray(pts), jnp.asarray(syms))
+    assert float(e) < 1e-6
+    # without symmetry: max distance = chord of 90 deg = r*sqrt(2)
+    e2 = mssd(jnp.asarray(R_est), jnp.asarray(t), jnp.asarray(R_gt),
+              jnp.asarray(t), jnp.asarray(pts),
+              jnp.asarray(np.eye(3, dtype=np.float32)[None]))
+    np.testing.assert_allclose(float(e2), 0.05 * np.sqrt(2), rtol=1e-4)
+
+
+def test_mspd_pixels():
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    pts = np.zeros((5, 3), np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t_gt = np.array([0, 0, 1.0], np.float32)
+    t_est = np.array([0.02, 0, 1.0], np.float32)  # 10 px at z=1
+    e = mspd(jnp.asarray(R), jnp.asarray(t_est), jnp.asarray(R),
+             jnp.asarray(t_gt), jnp.asarray(pts),
+             jnp.asarray(np.eye(3, dtype=np.float32)[None]),
+             jnp.asarray(K))
+    np.testing.assert_allclose(float(e), 10.0, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def cube_mesh():
+    h = 0.05
+    v = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                  for z in (-h, h)], np.float32)
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    faces = np.array([tri for a, b, c, d in quads
+                      for tri in ((a, b, c), (a, c, d))], np.int32)
+    return v, faces
+
+
+def test_vsd_perfect_pose_zero(cube_mesh):
+    verts, faces = cube_mesh
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                 np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.6], np.float32)
+    from rdpn6d_tpu.ops.rasterizer import render_mesh
+    depth_scene, _ = render_mesh(verts, faces, K, R, t, 480, 640)
+    errs = vsd(R, t, R, t, depth_scene, K, verts, faces,
+               diameter=0.1 * np.sqrt(3))
+    assert errs[0] < 1e-6
+
+
+def test_vsd_wrong_pose_high(cube_mesh):
+    verts, faces = cube_mesh
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                 np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t_gt = np.array([0, 0, 0.6], np.float32)
+    t_est = np.array([0.2, 0, 0.6], np.float32)  # far off: no overlap
+    from rdpn6d_tpu.ops.rasterizer import render_mesh
+    depth_scene, _ = render_mesh(verts, faces, K, R, t_gt, 480, 640)
+    errs = vsd(R, t_est, R, t_gt, depth_scene, K, verts, faces,
+               diameter=0.1 * np.sqrt(3))
+    assert errs[0] > 0.9
