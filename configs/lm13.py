@@ -1,0 +1,21 @@
+"""LineMOD 13-object experiment.
+
+Counterpart of configs/gdrn/lm/a6_cPnP_lm13.py: NUM_REGIONS=32, allo_rot6d,
+centroid_z, Ranger lr=1e-4, flat_and_anneal cosine @0.72, DZI pad 1.5,
+color aug prob 0.8.
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="lm13")
+    return cfg.apply_opts([
+        'data.train_datasets=["lm_13_train"]',
+        'data.test_datasets=["lm_13_test"]',
+        "data.color_aug_prob=0.8",
+        "head.num_classes=13",
+        "solver.total_epochs=160",
+        "solver.ims_per_batch=24",
+        'train.output_dir="output/lm13"',
+    ])

@@ -1,0 +1,24 @@
+"""LineMOD-Occluded experiment.
+
+Counterpart of configs/gdrn/lmo/a6_cPnP_AugAAETrunc_BG0.5_lmo_real_pbr0.1_40e.py:
+real data + 10% pbr TRAIN2 mixing, background replacement 0.5, truncated-fg
+aug, 40 epochs.
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="lmo")
+    return cfg.apply_opts([
+        'data.train_datasets=["lmo_train"]',
+        'data.train2_datasets=["lmo_pbr_train"]',
+        "data.train2_ratio=0.1",
+        'data.test_datasets=["lmo_bop_test"]',
+        "data.color_aug_prob=0.8",
+        "data.change_bg_prob=0.5",
+        "data.truncate_fg=true",
+        "head.num_classes=8",
+        "solver.total_epochs=40",
+        'train.output_dir="output/lmo"',
+    ])

@@ -1,0 +1,22 @@
+"""MP6D metallic-parts experiment.
+
+Counterpart of configs/gdrn/mp6d/a.py: 25 epochs, batch 24, Ranger 1e-4,
+DZI pad 1.5, truncate-fg + bg replace 0.5, gt test bboxes.
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="mp6d")
+    return cfg.apply_opts([
+        'data.train_datasets=["mp6d_train"]',
+        'data.test_datasets=["mp6d_test"]',
+        "data.color_aug_prob=0.8",
+        "data.change_bg_prob=0.5",
+        "data.truncate_fg=true",
+        "head.num_classes=20",
+        "solver.total_epochs=25",
+        'test.error_types="AUCadd,AUCadi,AUCad,vsd"',
+        'train.output_dir="output/mp6d"',
+    ])

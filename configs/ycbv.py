@@ -1,0 +1,27 @@
+"""YCB-Video experiment.
+
+Counterpart of configs/gdrn/ycbv/a6_cPnP_AugAAETrunc_BG0.5_Rsym_ycbv_real_pbr_visib20_10e.py:
+real+pbr training, visib>=0.2 filter, symmetric PM loss, 10 epochs,
+ADD(-S) AUC evaluation.
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="ycbv")
+    return cfg.apply_opts([
+        'data.train_datasets=["ycbv_train_real"]',
+        'data.train2_datasets=["ycbv_train_pbr"]',
+        "data.train2_ratio=0.5",
+        'data.test_datasets=["ycbv_test"]',
+        "data.color_aug_prob=0.8",
+        "data.change_bg_prob=0.5",
+        "data.truncate_fg=true",
+        "data.filter_visib_thr=0.2",
+        "head.num_classes=21",
+        "loss.pm_loss_sym=true",
+        "solver.total_epochs=10",
+        'test.error_types="AUCadd,AUCadi,AUCad,ad,ABSad"',
+        'train.output_dir="output/ycbv"',
+    ])

@@ -46,6 +46,9 @@ class HeadConfig:
     mask_thr_test: float = 0.5
     region_loss_mask: str = "visib"
     region_lw: float = 1.0
+    rot_class_aware: bool = False
+    mask_class_aware: bool = False
+    region_class_aware: bool = False
 
     @property
     def coord_dim(self) -> int:
@@ -74,6 +77,7 @@ class PnPConfig:
     region_attention: bool = True
     mask_attention: str = "mul"     # none | mul | concat
     pnp_head: str = "ConvPnPNet"    # ConvPnPNet | SimplePointPnP | PointPnP
+    r_only: bool = False            # translation from TransHead instead
 
     @property
     def rot_dim(self) -> int:

@@ -1,0 +1,73 @@
+"""External-detector bbox loading for est-bbox evaluation.
+
+Counterpart of the reference's ``load_detections_into_dataset``
+(core/utils/dataset_utils.py:117-186): read a detections json (list of
+{scene_id/im_id or scene_im_id, obj_id, bbox_est [x,y,w,h], score, time}),
+keep top-k per object per image, and attach to test records. The reference
+hardcodes an absolute xyz path here (dataset_utils.py:182) — not replicated.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from typing import Any
+
+import numpy as np
+
+
+def load_detections(path: str) -> dict[tuple[int, int], list[dict]]:
+    """-> {(scene_id, im_id): [det, ...]} with xyxy float bboxes."""
+    with open(path) as f:
+        raw = json.load(f)
+    if isinstance(raw, dict):
+        # {scene_im_id: [dets]} layout
+        items = []
+        for key, dets in raw.items():
+            s, i = key.split("/")
+            for d in dets:
+                d = dict(d)
+                d.setdefault("scene_id", int(s))
+                d.setdefault("im_id", int(i))
+                items.append(d)
+        raw = items
+    out: dict[tuple[int, int], list[dict]] = defaultdict(list)
+    for d in raw:
+        bbox = np.asarray(d.get("bbox_est", d.get("bbox", [0, 0, 1, 1])),
+                          np.float32)
+        # detections are xywh (BOP det convention); convert to xyxy
+        xyxy = np.array([bbox[0], bbox[1], bbox[0] + bbox[2],
+                         bbox[1] + bbox[3]], np.float32)
+        out[(int(d["scene_id"]), int(d["im_id"]))].append({
+            "obj_id": int(d["obj_id"]),
+            "bbox": xyxy,
+            "score": float(d.get("score", 1.0)),
+            "time": float(d.get("time", -1.0)),
+        })
+    return out
+
+
+def attach_detections(records: list[dict[str, Any]],
+                      detections: dict[tuple[int, int], list[dict]],
+                      topk_per_obj: int = 1,
+                      score_thr: float = 0.0) -> list[dict[str, Any]]:
+    """Replace each test record's GT bbox with its matched detection bbox.
+
+    Records without a detection for their object are dropped (the reference
+    logs and skips, dataset_utils.py:117-186). For duplicate detections of
+    one object keep the top-k by score.
+    """
+    out = []
+    for rec in records:
+        dets = detections.get((rec["scene_id"], rec["im_id"]), [])
+        cands = sorted(
+            (d for d in dets
+             if d["obj_id"] == rec["obj_id"] and d["score"] >= score_thr),
+            key=lambda d: -d["score"])[:topk_per_obj]
+        for d in cands:
+            r = dict(rec)
+            r["bbox_visib"] = d["bbox"]
+            r["det_score"] = d["score"]
+            r["det_time"] = d["time"]
+            out.append(r)
+    return out

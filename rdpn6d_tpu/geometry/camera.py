@@ -85,6 +85,10 @@ def recover_pose_centroid_z(
         z = z_rel * resize_ratio
     elif z_type == "ABS":
         z = z_rel
+    elif z_type == "LOG":
+        z = jnp.exp(z_rel)
+    elif z_type == "NEG_LOG":
+        z = jnp.exp(-z_rel)
     else:
         raise ValueError(f"unknown z_type: {z_type}")
     fx, fy = K[..., 0, 0], K[..., 1, 1]

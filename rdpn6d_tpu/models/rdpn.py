@@ -54,10 +54,14 @@ class RDPN(nn.Module):
         fused = SpatialPointNet(dtype=self.dtype, name="spatial_net")(
             feat, xyz32, train=train)                            # [B,32,32,1024]
 
+        nc = head_cfg.num_classes
         mask_logits, coord_out, region_logits = DenseHead(
-            mask_dim=head_cfg.mask_dim,
-            coord_dim=head_cfg.coord_dim,
-            region_dim=head_cfg.region_dim,
+            mask_dim=head_cfg.mask_dim * (nc if head_cfg.mask_class_aware
+                                          else 1),
+            coord_dim=head_cfg.coord_dim * (nc if head_cfg.rot_class_aware
+                                            else 1),
+            region_dim=head_cfg.region_dim * (
+                nc if head_cfg.region_class_aware else 1),
             num_filters=head_cfg.num_filters,
             num_layers=head_cfg.num_layers,
             norm=head_cfg.norm,
@@ -65,6 +69,22 @@ class RDPN(nn.Module):
             dtype=self.dtype,
             name="dense_head",
         )(fused, train=train)
+
+        # class-aware channel selection (GDRN.py:166-190)
+        def select_class(x, dim):
+            B = x.shape[0]
+            xr = x.reshape(x.shape[:-1] + (nc, dim))
+            cls = batch["roi_cls"].reshape(B, 1, 1, 1, 1)
+            return jnp.take_along_axis(
+                xr, jnp.broadcast_to(cls, xr.shape[:-2] + (1, dim)),
+                axis=-2)[..., 0, :]
+
+        if head_cfg.rot_class_aware:
+            coord_out = select_class(coord_out, head_cfg.coord_dim)
+        if head_cfg.mask_class_aware:
+            mask_logits = select_class(mask_logits, head_cfg.mask_dim)
+        if head_cfg.region_class_aware:
+            region_logits = select_class(region_logits, head_cfg.region_dim)
 
         # ------------------------------------------------------------------
         # assemble Patch-PnP input (GDRN.py:192-233)
@@ -122,6 +142,14 @@ class RDPN(nn.Module):
         rot_param, t_param = pnp_net(
             coord_feat, region=region_atten, extents=batch["roi_extent"],
             mask_attention=mask_atten, train=train)
+
+        if pnp_cfg.r_only:
+            # direct-translation head override (GDRN.py:238-239; disabled in
+            # all shipped configs but part of the API surface)
+            from .heads import TransHead
+            t_param = TransHead(num_filters=head_cfg.num_filters,
+                                dtype=self.dtype,
+                                name="trans_head")(fused, train=train)
 
         # ------------------------------------------------------------------
         # rot param -> matrix; centroid/z -> egocentric pose (on-device)
@@ -192,6 +220,7 @@ def dummy_batch(cfg: Config, batch_size: int = 2) -> dict[str, jax.Array]:
     K = cfg.head.num_regions
     b = batch_size
     return {
+        "roi_cls": jnp.zeros((b,), jnp.int32),
         "roi_img": jnp.zeros((b, res, res, 6), jnp.float32),
         "roi_coord_2d": jnp.zeros((b, out, out, 5), jnp.float32),
         "fps": jnp.zeros((b, K, 3), jnp.float32),
