@@ -24,38 +24,62 @@ import jax
 import jax.numpy as jnp
 
 from rdpn6d_tpu.config import Config
+from rdpn6d_tpu.data.pipeline import preprocess_batch
 from rdpn6d_tpu.models import RDPN, dummy_batch
 
 BASELINE_POSES_PER_SEC = 100.0
 
 
+def _frame_batches(cfg, batch_size: int, n: int = 4):
+    """Distinct random FULL-FRAME inputs (480x640 RGB-D + boxes)."""
+    key = jax.random.PRNGKey(0)
+    out = []
+    for i in range(n):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, i), 3)
+        b = batch_size
+        cx = jax.random.uniform(k3, (b,), minval=200.0, maxval=440.0)
+        cy = jax.random.uniform(k3, (b,), minval=150.0, maxval=330.0)
+        side = jnp.full((b,), 96.0)
+        out.append({
+            "rgb": jax.random.uniform(k1, (b, 480, 640, 3)) * 255.0,
+            "depth": jax.random.uniform(k2, (b, 480, 640),
+                                        minval=0.4, maxval=1.2),
+            "K": jnp.tile(jnp.asarray([[572.4, 0, 325.3],
+                                       [0, 573.6, 242.0],
+                                       [0, 0, 1.0]], jnp.float32),
+                          (b, 1, 1)),
+            "bbox": jnp.stack([cx - side, cy - side, cx + side, cy + side],
+                              -1),
+            "fps": jax.random.normal(k1, (b, cfg.head.num_regions, 3))
+            * 0.05,
+            "extent": jnp.full((b, 3), 0.1),
+        })
+    return out
+
+
 def _measure(model, variables, batch_size: int, cfg,
              n_iters: int = 10) -> float:
-    # distinct inputs per iteration + a scalar host readback per iteration:
-    # guards against any execution caching/async shortcut in the device
-    # relay that would otherwise fake the timing
-    key = jax.random.PRNGKey(0)
-    batches = []
-    for i in range(4):
-        b = dict(dummy_batch(cfg, batch_size))
-        b["roi_img"] = jax.random.normal(
-            jax.random.fold_in(key, i),
-            (batch_size, cfg.backbone.input_res, cfg.backbone.input_res, 6),
-            jnp.float32)
-        batches.append(b)
+    """TRUE end-to-end: full RGB-D frames -> on-device preprocessing
+    (DZI crop, depth backprojection, coord features) -> CNN -> poses.
+    Distinct inputs per iteration + a scalar host readback guard against
+    any execution caching in the device relay."""
+    frames = _frame_batches(cfg, batch_size)
+    key = jax.random.PRNGKey(1)
 
     @jax.jit
-    def forward(variables, batch):
+    def end_to_end(variables, frames):
+        batch = preprocess_batch(cfg, frames, key, train=False)
+        batch["roi_cls"] = jnp.zeros((batch_size,), jnp.int32)
         out = model.apply(variables, batch, train=False)
         return out["rot_ego"], out["trans"], jnp.sum(out["trans"])
 
     for i in range(2):  # warmup / compile
-        jax.block_until_ready(forward(variables, batches[i % 4]))
+        jax.block_until_ready(end_to_end(variables, frames[i % 4]))
 
     start = time.perf_counter()
     sink = 0.0
     for i in range(n_iters):
-        r, t, s = forward(variables, batches[i % 4])
+        r, t, s = end_to_end(variables, frames[i % 4])
         sink += float(s)  # forces device round-trip
     elapsed = time.perf_counter() - start
     assert sink == sink, "NaN sink"
@@ -69,14 +93,14 @@ def main() -> None:
                            train=False)
 
     best_bs, best = 0, 0.0
-    for bs in (64, 128, 256):
+    for bs in (32, 64, 128):
         pps = _measure(model, variables, bs, cfg)
         if pps > best:
             best_bs, best = bs, pps
 
     print(json.dumps({
-        "metric": "poses/sec/chip end-to-end RGB-D->6DoF "
-                  f"(ResNet34 256px, best bs={best_bs})",
+        "metric": "poses/sec/chip FULL-frame RGB-D->6DoF incl. on-device "
+                  f"preprocessing (ResNet34 256px, best bs={best_bs})",
         "value": round(best, 2),
         "unit": "poses/sec",
         "vs_baseline": round(best / BASELINE_POSES_PER_SEC, 3),

@@ -81,7 +81,11 @@ class PnPConfig:
 
     @property
     def rot_dim(self) -> int:
-        return 6 if "rot6d" in self.rot_type else 4
+        if "rot6d" in self.rot_type:
+            return 6
+        if "lie_vec" in self.rot_type:
+            return 3
+        return 4  # quat / log_quat
 
     @property
     def is_allo(self) -> bool:

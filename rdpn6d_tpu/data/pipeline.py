@@ -27,7 +27,7 @@ from ..config import Config
 from ..geometry import ego_to_allo_mat, mat_to_ortho6d
 from ..ops.binning import quantize_coords
 from ..ops.region import residual_coord_target
-from ..ops.warp import crop_affine, crop_resize
+from ..ops.warp import crop_affine, crop_resize, crop_resize_mm
 
 
 def dzi_jitter(key: jax.Array, bbox_xyxy: jax.Array, im_hw: tuple[int, int],
@@ -106,23 +106,32 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     bh = jnp.maximum(sample["bbox"][3] - sample["bbox"][1], 1.0)
     resize_ratio = out_res / scale
 
-    # RGB crop + pixel normalization -----------------------------------
-    rgb = crop_resize(sample["rgb"], center, scale, input_res, "bilinear")
+    # RGB crop + color aug + pixel normalization -----------------------
+    # (matmul resampling: 16x faster than gathers on TPU, see ops/warp.py)
+    key, k_aug, k_on = jax.random.split(key, 3)
+    rgb = crop_resize_mm(sample["rgb"], center, scale, input_res)
+    if train and d.color_aug_prob > 0:
+        from .augment import DEFAULT_AUG, color_augment
+
+        aug = color_augment(rgb, k_aug, DEFAULT_AUG)
+        rgb = jnp.where(jax.random.bernoulli(k_on, d.color_aug_prob),
+                        aug, rgb)
     mean = jnp.asarray(d.pixel_mean)
     std = jnp.asarray(d.pixel_std)
     rgb = (rgb - mean) / std
 
-    # depth crop -> camera-frame XYZ -----------------------------------
-    depth_crop = crop_resize(sample["depth"], center, scale, input_res,
-                             "bilinear")
+    # depth crop -> camera-frame XYZ (full-precision resample: bf16 MXU
+    # rounding would cost millimeters) -----------------------------------
+    depth_crop = crop_resize_mm(sample["depth"], center, scale, input_res,
+                                precision="highest")
     depth_xyz = _backproject_crop(depth_crop, sample["K"], center, scale,
                                   input_res, out_res)
 
     roi_img = jnp.concatenate([rgb, depth_xyz], axis=-1)  # [256,256,6]
 
     # 5-channel coord feature at out_res (data_loader.py:832-836) ------
-    coord2d = crop_resize(coord_2d_map(H, W), center, scale, out_res,
-                          "bilinear")
+    coord2d = crop_resize_mm(coord_2d_map(H, W), center, scale, out_res,
+                             precision="highest")
     stride = input_res // out_res
     roi_coord_2d = jnp.concatenate(
         [depth_xyz[::stride, ::stride, :], coord2d], axis=-1)

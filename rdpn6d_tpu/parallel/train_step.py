@@ -71,20 +71,48 @@ def make_train_step(cfg: Config, model: RDPN,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_eval_step(cfg: Config, model: RDPN) -> Callable:
-    """Returns jitted (state, batch) -> pose outputs (R_ego, t, mask, ...)."""
+def make_eval_step(cfg: Config, model: RDPN,
+                   use_kabsch: bool | None = None) -> Callable:
+    """Returns jitted (state, batch) -> pose outputs (R_ego, t, mask, ...).
+
+    With ``use_kabsch`` (or cfg.test.use_pnp + pnp_type ransac_kabsch), the
+    net pose seeds an on-device RANSAC-Kabsch geometric refinement over the
+    dense correspondences — the TPU replacement for the reference's
+    process_net_and_pnp cv2 path (gdrn_evaluator.py:187-314).
+    """
+    if use_kabsch is None:
+        use_kabsch = (cfg.test.use_pnp
+                      and cfg.test.pnp_type == "ransac_kabsch")
 
     def eval_fn(state: TrainState, batch: dict[str, jax.Array]):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, train=False)
-        return {
+        result = {
             "rot_ego": out["rot_ego"],
             "trans": out["trans"],
             "mask_prob": out["mask_logits"][..., 0],
             "coord": out["coord"],
             "region_logits": out["region_logits"],
         }
+        if use_kabsch:
+            from ..ops.ransac_kabsch import refine_pose_kabsch
+
+            b = out["coord"].shape[0]
+            keys = jax.random.split(jax.random.PRNGKey(0), b)
+            depth_xyz = batch["roi_coord_2d"][..., :3]  # head-res scaled xyz
+            R_ref, t_ref, ratio = jax.vmap(
+                lambda c, rl, mp, dx, rr, fps, ex, rn, tn, k:
+                refine_pose_kabsch(c, rl, mp, dx, rr, fps, ex, rn, tn, k,
+                                   mask_thr=cfg.head.mask_thr_test))(
+                out["coord"], out["region_logits"],
+                result["mask_prob"], depth_xyz, batch["resize_ratio"],
+                batch["fps"], batch["roi_extent"], out["rot_ego"],
+                out["trans"], keys)
+            result["rot_ego"] = R_ref
+            result["trans"] = t_ref
+            result["inlier_ratio"] = ratio
+        return result
 
     return jax.jit(eval_fn)
 

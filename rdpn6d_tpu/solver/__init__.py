@@ -36,6 +36,19 @@ def build_optimizer(cfg: Config, total_iters: int
         opt = ranger(schedule, weight_decay=s.weight_decay)
     elif s.optimizer == "adamw":
         opt = optax.adamw(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "adam":
+        opt = optax.adam(schedule)
+    elif s.optimizer == "radam":
+        opt = optax.chain(
+            scale_by_radam_rectified(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_learning_rate(schedule))
+    elif s.optimizer == "adabelief":
+        opt = optax.adabelief(schedule)
+    elif s.optimizer == "lookahead_adam":
+        opt = optax.chain(optax.adam(schedule), lookahead())
+    elif s.optimizer == "sgd_gc":
+        opt = optax.chain(centralize_gradients(),
+                          optax.sgd(schedule, momentum=0.9))
     elif s.optimizer == "sgd":
         opt = optax.sgd(schedule, momentum=0.9)
     else:
