@@ -24,6 +24,7 @@ class BackboneConfig:
     input_res: int = 256
     rgb_channels: int = 3           # trunk consumes RGB; depth-XYZ feeds fusion
     freeze: bool = False
+    rot_concat: bool = False        # multi-scale skip fusion into the head
     pretrained: str = ""            # path to converted torchvision npz, or ""
 
 
@@ -107,6 +108,9 @@ class LossConfig:
     z_lw: float = 1.0
     rot_lw: float = 0.0
     rot_loss_type: str = "angular"
+    trans_lw: float = 0.0           # direct translation loss
+    trans_loss_disentangle: bool = True
+    bind_lw: float = 0.0            # R^T t binding term (gdrn_base.py:101)
     use_mtl: bool = False           # uncertainty multi-task weighting
 
 
@@ -122,6 +126,7 @@ class DataConfig:
     pixel_std: tuple[float, float, float] = (255.0, 255.0, 255.0)
     color_aug_prob: float = 0.0
     change_bg_prob: float = 0.0
+    bg_images_dir: str = ""         # VOC/SUN-style background pool
     truncate_fg: bool = False
     filter_visib_thr: float = 0.0
     train_datasets: tuple[str, ...] = ()

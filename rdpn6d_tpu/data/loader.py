@@ -64,10 +64,38 @@ class RecordDecoder:
     """record dict -> full-frame numpy sample for the device pipeline."""
 
     def __init__(self, cfg: Config, assets: "ClassAssets",
-                 num_pm_points: int | None = None):
+                 num_pm_points: int | None = None,
+                 train: bool = True, seed: int = 0):
         self.cfg = cfg
         self.assets = assets
         self.num_pm_points = num_pm_points or cfg.loss.num_pm_points
+        self.train = train
+        self.rng = np.random.RandomState(seed)
+        self._bg_files: list[str] | None = None
+
+    def _random_bg(self, H: int, W: int) -> np.ndarray | None:
+        """Random background image from cfg.data.bg_images_dir
+        (VOC/SUN replacement pool, base_data_loader.py:320-364)."""
+        import glob
+        import os
+
+        d = self.cfg.data.bg_images_dir
+        if not d:
+            return None
+        if self._bg_files is None:
+            self._bg_files = sorted(
+                glob.glob(os.path.join(d, "**", "*.jpg"), recursive=True)
+                + glob.glob(os.path.join(d, "**", "*.png"), recursive=True))
+        if not self._bg_files:
+            return None
+        import cv2
+
+        path = self._bg_files[self.rng.randint(len(self._bg_files))]
+        bg = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bg is None:
+            return None
+        bg = cv2.cvtColor(bg, cv2.COLOR_BGR2RGB)
+        return cv2.resize(bg, (W, H)).astype(np.float32)
 
     def __call__(self, rec: dict[str, Any]) -> dict[str, np.ndarray]:
         H, W = rec["height"], rec["width"]
@@ -108,10 +136,31 @@ class RecordDecoder:
             bbox = np.array([bbox[0], bbox[1], bbox[0] + bbox[2],
                              bbox[1] + bbox[3]], np.float32)
 
+        # background replacement + foreground truncation (train aug,
+        # base_data_loader.py:320-364); labels keep the ORIGINAL visib mask,
+        # the truncated mask feeds mask_trunc (data_loader.py:843-848)
+        mask_trunc = mask_visib
+        d = self.cfg.data
+        if self.train and d.change_bg_prob > 0 \
+                and self.rng.rand() < d.change_bg_prob:
+            bg = self._random_bg(H, W)
+            if bg is not None:
+                keep = mask_visib.copy()
+                if d.truncate_fg:
+                    cut = self.rng.uniform(0.3, 0.7)
+                    side = self.rng.randint(4)
+                    uu, vv = np.meshgrid(np.linspace(0, 1, W),
+                                         np.linspace(0, 1, H))
+                    half = [uu < cut, uu > cut, vv < cut, vv > cut][side]
+                    keep = keep * half
+                    mask_trunc = keep.astype(np.float32)
+                rgb = rgb * keep[..., None] + bg * (1 - keep[..., None])
+
         proj = K @ t
         a = self.assets.for_obj(rec["obj_id"])
         n_pm = self.num_pm_points
         return {
+            "mask_trunc": mask_trunc,
             "rgb": rgb,
             "depth": depth,
             "xyz": xyz.astype(np.float32),

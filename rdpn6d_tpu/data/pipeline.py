@@ -162,7 +162,11 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     roi_mask_visib = crop_resize(mask_visib, center, scale, out_res,
                                  "nearest")
     roi_mask_obj = crop_resize(mask_obj, center, scale, out_res, "nearest")
-    roi_mask_trunc = roi_mask_visib  # trunc == visib without bg replacement
+    if "mask_trunc" in sample:  # host truncation aug (loader)
+        roi_mask_trunc = crop_resize(sample["mask_trunc"] * mask_obj,
+                                     center, scale, out_res, "nearest")
+    else:
+        roi_mask_trunc = roi_mask_visib
 
     # xyz crop -> region + rotated residual (data_loader.py:874-903) ---
     roi_xyz_raw = crop_resize(xyz_full, center, scale, out_res, "nearest")

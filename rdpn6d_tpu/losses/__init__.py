@@ -82,6 +82,25 @@ def compute_losses(cfg: Config, out: dict[str, jax.Array],
         losses["loss_z"] = jnp.mean(jnp.abs(
             out["z_rel"] - batch["trans_ratio"][:, 2])) * l.z_lw
 
+    # direct translation loss (GDRN.py:586-607)
+    if l.trans_lw > 0:
+        diff = out["trans"] - batch["gt_trans"]
+        if l.trans_loss_disentangle:
+            losses["loss_trans_xy"] = jnp.mean(
+                jnp.abs(diff[:, :2])) * l.trans_lw
+            losses["loss_trans_z"] = jnp.mean(
+                jnp.abs(diff[:, 2])) * l.trans_lw
+        else:
+            losses["loss_trans_LPnP"] = jnp.mean(jnp.abs(diff)) * l.trans_lw
+
+    # bind term: R^T t consistency (GDRN.py:609-624)
+    if l.bind_lw > 0:
+        bind_pred = jnp.einsum("bij,bi->bj", out["rot_ego"], out["trans"])
+        bind_gt = jnp.einsum("bij,bi->bj", batch["gt_rot"],
+                             batch["gt_trans"])
+        losses["loss_bind"] = jnp.mean(jnp.abs(bind_pred - bind_gt)) \
+            * l.bind_lw
+
     # MTL uncertainty re-weighting (GDRN.py:626-632)
     if l.use_mtl:
         for name in ("mask", "coor_x", "coor_y", "coor_z", "region"):

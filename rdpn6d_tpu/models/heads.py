@@ -41,14 +41,19 @@ class DenseHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, skip64=None):
         """x [B, 32, 32, C] -> (mask [B,64,64,Dm], coord [B,64,64,Dc],
-        region [B,64,64,Dr])."""
+        region [B,64,64,Dr]). ``skip64``: optional full-res trunk skip
+        concatenated after upsampling (the reference's ROT_CONCAT multi-
+        scale fusion, cdpn_rot_head_region.py:148-168, re-designed for the
+        32->64 decoder)."""
         x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
                              padding="SAME", use_bias=False,
                              dtype=self.dtype)(x)
         x = _make_norm(self.norm, self.gn_groups, train, self.dtype)(x)
         x = nn.relu(x)
+        if skip64 is not None:
+            x = jnp.concatenate([x, skip64.astype(x.dtype)], axis=-1)
         for i in range(self.num_layers):
             if i >= 3:  # extra layers upsample further (reference :104)
                 B, H, W, C = x.shape

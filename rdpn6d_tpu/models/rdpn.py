@@ -45,14 +45,23 @@ class RDPN(nn.Module):
         depth_xyz = roi_img[..., 3:6]
 
         # trunk on RGB; XYZ joins at 32x32 via the pointnet fusion
-        feat = ResNetTrunk(cfg.backbone.depth, dtype=self.dtype,
-                           name="backbone")(rgb, train=train)   # [B,8,8,512]
+        trunk = ResNetTrunk(cfg.backbone.depth, dtype=self.dtype,
+                            name="backbone")
+        if cfg.backbone.rot_concat:
+            feat, skips = trunk(rgb, train=train, return_skips=True)
+            skip64, skip32 = skips[0], skips[1]  # [B,64,64,*], [B,32,32,*]
+        else:
+            feat = trunk(rgb, train=train)                      # [B,8,8,512]
+            skip64 = skip32 = None
         B, h8, w8, c = feat.shape
         feat = jax.image.resize(feat, (B, h8 * 4, w8 * 4, c), "bilinear")
         xyz32 = jax.image.resize(
             depth_xyz, (B, h8 * 4, w8 * 4, 3), "nearest").astype(self.dtype)
         fused = SpatialPointNet(dtype=self.dtype, name="spatial_net")(
             feat, xyz32, train=train)                            # [B,32,32,1024]
+        if skip32 is not None:
+            fused = jnp.concatenate([fused, skip32.astype(fused.dtype)],
+                                    axis=-1)
 
         nc = head_cfg.num_classes
         mask_logits, coord_out, region_logits = DenseHead(
@@ -68,7 +77,7 @@ class RDPN(nn.Module):
             gn_groups=head_cfg.gn_groups,
             dtype=self.dtype,
             name="dense_head",
-        )(fused, train=train)
+        )(fused, train=train, skip64=skip64)
 
         # class-aware channel selection (GDRN.py:166-190)
         def select_class(x, dim):

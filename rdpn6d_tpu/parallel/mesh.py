@@ -48,3 +48,21 @@ def shard_batch(batch: dict[str, Any], mesh: Mesh,
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def gather_predictions(local_preds: list[Any]) -> list[Any]:
+    """All-hosts gather of python prediction objects for rank-0 scoring.
+
+    Counterpart of the reference's ``comm.all_gather(predictions)``
+    (gdrn_evaluator.py:437-447). Single-host (the common case here) is a
+    passthrough; multi-host uses jax multihost_utils over DCN.
+    """
+    if jax.process_count() == 1:
+        return local_preds
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(local_preds)
+    out: list[Any] = []
+    for chunk in gathered:
+        out.extend(chunk if isinstance(chunk, list) else [chunk])
+    return out

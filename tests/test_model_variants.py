@@ -1,0 +1,74 @@
+"""Model variants: CE-bin mode, rot_concat skips, PointPnP heads, MTL,
+class-aware, lie/log-quat rot types."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdpn6d_tpu.config import Config
+from rdpn6d_tpu.models import RDPN, dummy_batch
+
+BASE_OPTS = ["backbone.depth=18", "backbone.input_res=64",
+             "head.out_res=16", "head.num_regions=4",
+             "head.num_filters=32"]
+
+
+def run_variant(opts):
+    cfg = Config().apply_opts(BASE_OPTS + opts)
+    model = RDPN(cfg, dtype=jnp.float32)
+    batch = dummy_batch(cfg, 2)
+    # non-zero inputs: zero activations make rot6d degenerate by design
+    key = jax.random.PRNGKey(7)
+    batch["roi_img"] = jax.random.normal(key, batch["roi_img"].shape) * 0.2
+    batch["roi_coord_2d"] = jax.random.normal(
+        key, batch["roi_coord_2d"].shape) * 0.2
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out["rot_ego"])).all()
+    assert np.isfinite(np.asarray(out["trans"])).all()
+    return cfg, out
+
+
+def test_ce_coor_bin_mode():
+    cfg, out = run_variant(['head.xyz_loss="CE_coor"', "head.xyz_bin=16"])
+    assert out["coord_out"].shape[-1] == 3 * 17
+    assert out["coord"].shape[-1] == 3  # soft-decoded for PnP input
+
+
+def test_rot_concat_skips():
+    run_variant(["backbone.rot_concat=true"])
+
+
+def test_point_pnp_heads():
+    run_variant(['pnp.pnp_head="SimplePointPnP"'])
+    run_variant(['pnp.pnp_head="PointPnP"'])
+
+
+def test_mtl_params_exist():
+    cfg = Config().apply_opts(BASE_OPTS + ["loss.use_mtl=true"])
+    model = RDPN(cfg, dtype=jnp.float32)
+    batch = dummy_batch(cfg, 2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    assert "log_var_mask" in variables["params"]
+
+
+def test_class_aware_heads():
+    cfg, out = run_variant(["head.rot_class_aware=true",
+                            "head.mask_class_aware=true",
+                            "head.region_class_aware=true",
+                            "head.num_classes=3"])
+    assert out["coord"].shape[-1] == 3
+    assert out["region_logits"].shape[-1] == cfg.head.region_dim
+
+
+@pytest.mark.parametrize("rot_type,dim", [
+    ("allo_quat", 4), ("allo_log_quat", 4), ("allo_lie_vec", 3),
+    ("ego_rot6d", 6)])
+def test_rot_types(rot_type, dim):
+    cfg, out = run_variant([f'pnp.rot_type="{rot_type}"'])
+    assert out["rot_param"].shape[-1] == dim
+    R = np.asarray(out["rot_ego"])
+    eye = R @ np.swapaxes(R, -1, -2)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (2, 1, 1)),
+                               atol=1e-4)
