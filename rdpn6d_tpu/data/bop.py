@@ -171,10 +171,13 @@ def available_splits() -> list[str]:
 
 
 def _register_defaults() -> None:
+    from .refs import LM13_OBJECTS, LM
+
+    lm13_ids = tuple(LM.obj2id[o] for o in LM13_OBJECTS)
     register_split(Split("lm_13_train", "lm", "train",
-                         scene_ids=tuple(range(1, 16))))
+                         scene_ids=lm13_ids, objs=LM13_OBJECTS))
     register_split(Split("lm_13_test", "lm", "test",
-                         scene_ids=tuple(range(1, 16)),
+                         scene_ids=lm13_ids, objs=LM13_OBJECTS,
                          targets_file="test_targets_bop19.json"))
     register_split(Split("lmo_train", "lmo", "train",
                          scene_ids=(2,)))
@@ -220,7 +223,6 @@ def _register_defaults() -> None:
                          scene_ids=(1, 2, 3),
                          targets_file="test_targets_bop19.json"))
     # per-object LM "SO" splits (reference lm_dataset_d2.py:360-580)
-    from .refs import LM
     for obj in LM.objects:
         oid = LM.obj2id[obj]
         register_split(Split(f"lm_{obj}_train", "lm", "train",

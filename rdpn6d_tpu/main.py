@@ -65,9 +65,12 @@ def main(argv=None):
                                              cfg.backbone.pretrained)
 
     if args.eval_only:
-        raise SystemExit(
-            "eval-only requires a dataset on disk; use "
-            "tools/eval_split.py for the scripted path")
+        from .engine.eval_runner import run_eval
+
+        for split in cfg.data.test_datasets:
+            run_eval(cfg, ckpt_dir=f"{cfg.train.output_dir}/ckpt",
+                     split_name=split)
+        return
 
     # epochs -> iterations (engine.py:179-186 epoch semantics)
     split = cfg.data.train_datasets[0]
