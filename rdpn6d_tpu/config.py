@@ -37,6 +37,8 @@ class HeadConfig:
     gn_groups: int = 32
     num_classes: int = 13
     num_regions: int = 32
+    coord_residual: bool = True     # RDPN rotated FPS-residual coords;
+    # False = GDR-Net absolute normalized coords (PnP-decodable w/o R)
     xyz_loss: str = "L1"            # L1 | CE_coor
     xyz_bin: int = 64
     xyz_loss_mask: str = "visib"    # trunc | visib | obj

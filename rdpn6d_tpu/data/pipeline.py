@@ -168,10 +168,18 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     else:
         roi_mask_trunc = roi_mask_visib
 
-    # xyz crop -> region + rotated residual (data_loader.py:874-903) ---
+    # xyz crop -> region + coordinate target ---------------------------
     roi_xyz_raw = crop_resize(xyz_full, center, scale, out_res, "nearest")
-    region, coord = residual_coord_target(
-        roi_xyz_raw, sample["fps"], sample["gt_rot"], sample["extent"])
+    if cfg.head.coord_residual:
+        # RDPN: region + GT-rotated FPS residual (data_loader.py:874-903)
+        region, coord = residual_coord_target(
+            roi_xyz_raw, sample["fps"], sample["gt_rot"], sample["extent"])
+    else:
+        # GDR-Net absolute mode: plain extent-normalized model coords
+        from ..ops.region import xyz_to_region
+
+        region, _ = xyz_to_region(roi_xyz_raw, sample["fps"])
+        coord = roi_xyz_raw / sample["extent"][None, None, :] + 0.5
 
     # pose targets (data_loader.py:946-1010) ---------------------------
     t = sample["gt_trans"]
