@@ -53,6 +53,10 @@ class RDPN(nn.Module):
         else:
             feat = trunk(rgb, train=train)                      # [B,8,8,512]
             skip64 = skip32 = None
+        if cfg.backbone.freeze:  # frozen-backbone option (GDRN FREEZE)
+            feat = jax.lax.stop_gradient(feat)
+            skip64 = None if skip64 is None else jax.lax.stop_gradient(skip64)
+            skip32 = None if skip32 is None else jax.lax.stop_gradient(skip32)
         B, h8, w8, c = feat.shape
         feat = jax.image.resize(feat, (B, h8 * 4, w8 * 4, c), "bilinear")
         xyz32 = jax.image.resize(
