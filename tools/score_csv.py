@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Score an existing BOP19 result CSV against dataset GT (no model run).
+
+Counterpart of the reference's cached-result path
+(``eval_cached_results``, test_utils.py:78-135): re-score a results file
+with the custom ADD(-S)/AUC metrics and, optionally, the BOP19 AR
+(MSSD/MSPD) localization protocol.
+
+Usage:
+  python tools/score_csv.py --csv result.csv --split ycbv_test [--bop19]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--csv", required=True)
+    p.add_argument("--split", required=True)
+    p.add_argument("--num-regions", type=int, default=32)
+    p.add_argument("--bop19", action="store_true",
+                   help="also compute BOP19 AR (MSSD/MSPD)")
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    from rdpn6d_tpu.data.assets import load_class_assets
+    from rdpn6d_tpu.data.bop import build_split_records, get_split
+    from rdpn6d_tpu.data.inout import load_bop_results_csv
+    from rdpn6d_tpu.data.refs import get_ref
+    from rdpn6d_tpu.evaluation import PoseEvaluator, format_table
+
+    split = get_split(args.split)
+    ref = get_ref(split.ref_name)
+    records = build_split_records(split, flatten=True)
+    results = load_bop_results_csv(args.csv)
+    assets = load_class_assets(ref, args.num_regions)
+
+    # index GT by (scene, im, obj)
+    gt_idx = {}
+    for rec in records:
+        gt_idx.setdefault(
+            (rec["scene_id"], rec["im_id"], rec["obj_id"]), []).append(rec)
+
+    ev = PoseEvaluator(
+        models={ref.id2obj[oid]: assets.for_obj(oid)["points"]
+                for oid in assets.obj_ids},
+        diameters={ref.id2obj[oid]: float(assets.for_obj(oid)["diameter"])
+                   or ref.diameter_m(oid) for oid in assets.obj_ids},
+        sym_rots={ref.id2obj[oid]: assets.for_obj(oid)["sym_rots"]
+                  for oid in assets.obj_ids},
+    )
+    n_matched = 0
+    for res in results:
+        key = (res["scene_id"], res["im_id"], res["obj_id"])
+        if key not in gt_idx:
+            continue
+        gt = gt_idx[key][0]
+        ev.process(ref.id2obj[res["obj_id"]], res["R"], res["t"],
+                   gt["R"], gt["t"], gt["K"], scene_id=res["scene_id"],
+                   im_id=res["im_id"], score=res["score"])
+        n_matched += 1
+    logging.info(f"matched {n_matched}/{len(results)} estimates to GT")
+    out = ev.evaluate()
+    print(format_table(out))
+
+    if args.bop19:
+        from rdpn6d_tpu.evaluation.bop_score import bop19_average_recalls
+
+        gts = {}
+        for rec in records:
+            gts.setdefault((rec["scene_id"], rec["im_id"]), []).append(
+                {"obj_id": rec["obj_id"], "R": rec["R"], "t": rec["t"],
+                 "K": rec["K"]})
+        targets = [{"scene_id": s, "im_id": i, "obj_id": o,
+                    "inst_count": len(v)}
+                   for (s, i, o), v in gt_idx.items()]
+        ar = bop19_average_recalls(
+            results, gts, targets,
+            models={oid: assets.for_obj(oid)["points"]
+                    for oid in assets.obj_ids},
+            sym_rots={oid: assets.for_obj(oid)["sym_rots"]
+                      for oid in assets.obj_ids},
+            diameters={oid: float(assets.for_obj(oid)["diameter"])
+                       or ref.diameter_m(oid) for oid in assets.obj_ids},
+            im_width=ref.width)
+        print("BOP19:", {k: round(v, 4) for k, v in ar.items()})
+    return out
+
+
+if __name__ == "__main__":
+    main()
