@@ -47,8 +47,10 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                                     topk_per_obj=cfg.data.det_topk_per_obj)
     logger.info(f"{len(records)} test instances in {split_name}")
 
+    present = sorted({rec["obj_id"] for rec in records})
     assets = load_class_assets(ref, cfg.head.num_regions,
-                               cfg.loss.num_pm_points)
+                               cfg.loss.num_pm_points,
+                               objs=[ref.id2obj[oid] for oid in present])
     decoder = RecordDecoder(cfg, assets, train=False)
 
     if model is None:
