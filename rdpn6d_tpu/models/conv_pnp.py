@@ -22,6 +22,8 @@ class ConvPnPNet(nn.Module):
     num_layers: int = 3
     gn_groups: int = 32
     norm: str = "GN"
+    fc1_dim: int = 1024
+    fc2_dim: int = 256
     denorm_coords_by_extent: bool = True
     dtype: Any = jnp.float32
 
@@ -60,8 +62,8 @@ class ConvPnPNet(nn.Module):
             x = nn.relu(x)
 
         x = x.reshape(x.shape[0], -1)  # [B, 8*8*featdim]
-        x = nn.leaky_relu(nn.Dense(1024, dtype=self.dtype)(x), 0.1)
-        x = nn.leaky_relu(nn.Dense(256, dtype=self.dtype)(x), 0.1)
+        x = nn.leaky_relu(nn.Dense(self.fc1_dim, dtype=self.dtype)(x), 0.1)
+        x = nn.leaky_relu(nn.Dense(self.fc2_dim, dtype=self.dtype)(x), 0.1)
         rot = nn.Dense(self.rot_dim, dtype=self.dtype,
                        kernel_init=nn.initializers.normal(0.01))(x)
         t = nn.Dense(3, dtype=self.dtype,

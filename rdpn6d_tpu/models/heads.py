@@ -47,8 +47,12 @@ class DenseHead(nn.Module):
         concatenated after upsampling (the reference's ROT_CONCAT multi-
         scale fusion, cdpn_rot_head_region.py:148-168, re-designed for the
         32->64 decoder)."""
+        # padding/((1,2),(1,2)) + transpose_kernel matches torch
+        # ConvTranspose2d(k3, s2, p1, output_padding=1) exactly (verified to
+        # 1e-7), so reference checkpoints convert losslessly
         x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
-                             padding="SAME", use_bias=False,
+                             padding=((1, 2), (1, 2)), use_bias=False,
+                             transpose_kernel=True,
                              dtype=self.dtype)(x)
         x = _make_norm(self.norm, self.gn_groups, train, self.dtype)(x)
         x = nn.relu(x)

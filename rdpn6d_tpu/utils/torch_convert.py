@@ -90,6 +90,97 @@ def convert_torchvision_resnet(state_dict: dict[str, Any],
     return params, stats
 
 
+def convert_rdpn_checkpoint(state_dict: dict[str, Any],
+                            depth: int = 34,
+                            head_convs: int = 6) -> tuple[dict, dict]:
+    """Full reference-GDRN/RDPN torch checkpoint -> flax (params, stats).
+
+    Maps the reference's module tree (GDRN.py:56-63 attribute names):
+      backbone.{conv1,bn1,layer*}           -> params["backbone"]
+      backbone.spatial_net.{xyz_emb,xb,conv1..3,b1..3}
+                                            -> params["spatial_net"]
+      rot_head_net.features.{0 convT,1 bn, 3k conv/bn pairs, last conv}
+                                            -> params["dense_head"]
+      pnp_net.features.{conv,GN}x3 + fc1/fc2/fc_r/fc_t
+                                            -> params["pnp_net"]
+    ConvTranspose weights go [in,out,kh,kw] -> [kh,kw,out,in]
+    (transpose_kernel=True layout, torch-exact; see models/heads.py).
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    # strip common wrappers
+    sd = {k.removeprefix("module.").removeprefix("model."): v
+          for k, v in sd.items()}
+
+    bb = {k.removeprefix("backbone."): v for k, v in sd.items()
+          if k.startswith("backbone.") and "spatial_net" not in k}
+    if "conv1.weight" in bb:
+        params_bb, stats_bb = convert_torchvision_resnet(bb, depth)
+    else:  # partial checkpoints (e.g. head-only test rigs)
+        params_bb, stats_bb = {}, {}
+
+    def conv_w(name):
+        return {"kernel": sd[name + ".weight"].transpose(2, 3, 1, 0),
+                **({"bias": sd[name + ".bias"]}
+                   if name + ".bias" in sd else {})}
+
+    def bn_pair(name):
+        p = {"scale": sd[name + ".weight"], "bias": sd[name + ".bias"]}
+        s = {"mean": sd[name + ".running_mean"],
+             "var": sd[name + ".running_var"]}
+        return p, s
+
+    # spatial pointnet -------------------------------------------------
+    sp_p: dict[str, Any] = {}
+    sp_s: dict[str, Any] = {}
+    for i, (conv, bn) in enumerate([("xyz_emb", "xb"), ("conv1", "b1"),
+                                    ("conv2", "b2"), ("conv3", "b3")]):
+        sp_p[f"Conv_{i}"] = conv_w(f"backbone.spatial_net.{conv}")
+        sp_p[f"BatchNorm_{i}"], sp_s[f"BatchNorm_{i}"] = bn_pair(
+            f"backbone.spatial_net.{bn}")
+
+    # dense head -------------------------------------------------------
+    dh_p: dict[str, Any] = {}
+    dh_s: dict[str, Any] = {}
+    # features.0 = ConvTranspose [in,out,kh,kw] -> [kh,kw,out,in]
+    dh_p["ConvTranspose_0"] = {
+        "kernel": sd["rot_head_net.features.0.weight"
+                     ].transpose(2, 3, 1, 0)}
+    dh_p["BatchNorm_0"], dh_s["BatchNorm_0"] = bn_pair(
+        "rot_head_net.features.1")
+    # conv/bn pairs at torch indices 3,4 / 6,7 / ... (relu between)
+    for j in range(head_convs):
+        ti = 3 + 3 * j
+        dh_p[f"Conv_{j}"] = conv_w(f"rot_head_net.features.{ti}")
+        dh_p[f"BatchNorm_{j + 1}"], dh_s[f"BatchNorm_{j + 1}"] = bn_pair(
+            f"rot_head_net.features.{ti + 1}")
+    dh_p[f"Conv_{head_convs}"] = conv_w(
+        f"rot_head_net.features.{3 + 3 * head_convs}")
+
+    # pnp net ----------------------------------------------------------
+    pn_p: dict[str, Any] = {}
+    for j in range(3):
+        pn_p[f"Conv_{j}"] = conv_w(f"pnp_net.features.{3 * j}")
+        pn_p[f"GroupNorm_{j}"] = {
+            "scale": sd[f"pnp_net.features.{3 * j + 1}.weight"],
+            "bias": sd[f"pnp_net.features.{3 * j + 1}.bias"]}
+    for j, fc in enumerate(["fc1", "fc2", "fc_r", "fc_t"]):
+        w = sd[f"pnp_net.{fc}.weight"]
+        if fc == "fc1":
+            # torch flattens NCHW (c-major), flax flattens NHWC: permute
+            # the input axis c*(8*8)+h*8+w -> h*(8*c)+w*c+c
+            featdim = w.shape[1] // 64
+            w = w.reshape(-1, featdim, 8, 8).transpose(0, 2, 3, 1
+                                                       ).reshape(w.shape)
+        pn_p[f"Dense_{j}"] = {"kernel": w.T,
+                              "bias": sd[f"pnp_net.{fc}.bias"]}
+
+    params = {"backbone": params_bb, "spatial_net": sp_p,
+              "dense_head": dh_p, "pnp_net": pn_p}
+    stats = {"backbone": stats_bb, "spatial_net": sp_s,
+             "dense_head": dh_s}
+    return params, stats
+
+
 def load_pretrained_backbone(variables: dict, pth_path: str,
                              depth: int = 34,
                              backbone_name: str = "backbone") -> dict:
