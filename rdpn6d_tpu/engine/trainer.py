@@ -89,6 +89,23 @@ class Trainer:
                 self.json_writer.write(it + 1, {**host, "lr": lr})
                 self.tb.write(it + 1, host)
 
+            if (it + 1) % (cfg.train.log_period * 10) == 0:
+                # image panels: input rgb / depth-xyz / gt coords / masks
+                # (engine.py:331-367's TB visualization)
+                try:
+                    img = np.asarray(batch["roi_img"][0])
+                    panels = {
+                        "input_rgb": img[..., :3],
+                        "input_depth_xyz": img[..., 3:6],
+                    }
+                    if "roi_xyz" in batch:
+                        panels["gt_coord"] = np.asarray(batch["roi_xyz"][0])
+                        panels["gt_mask_visib"] = np.asarray(
+                            batch["roi_mask_visib"][0])
+                    self.tb.write_images(it + 1, panels)
+                except Exception:  # vis must never kill training
+                    pass
+
             if (it + 1) % ckpt_period == 0 or (it + 1) == self.total_iters:
                 self.ckpt.save(it + 1, jax.device_get(self.state))
             if eval_fn is not None and cfg.train.eval_period > 0 \

@@ -87,17 +87,24 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(cfg.train.seed)
 
-    def device_batches():
+    def device_batches(split_name: str, seed: int = 0):
         nonlocal key
         for frames in train_frame_iterator(
-                cfg, split, cache_dir=f"{cfg.train.output_dir}/cache"):
+                cfg, split_name, seed=seed,
+                cache_dir=f"{cfg.train.output_dir}/cache"):
             key, sub = jax.random.split(key)
             batch = preprocess_batch(
                 cfg, {k: jnp.asarray(v) for k, v in frames.items()}, sub,
                 train=True)
             yield batch
 
-    trainer.train(device_batches(), start_iter=start)
+    # TRAIN2 stochastic mixing (engine.py:253-256)
+    loader2 = None
+    if cfg.data.train2_datasets and cfg.data.train2_ratio > 0:
+        loader2 = device_batches(cfg.data.train2_datasets[0], seed=1)
+
+    trainer.train(device_batches(split), start_iter=start,
+                  loader2=loader2, train2_ratio=cfg.data.train2_ratio)
     logger.info("training complete")
 
 
