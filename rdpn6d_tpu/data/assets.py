@@ -10,7 +10,7 @@ batch can gather by ``roi_cls`` on device.
 
 from __future__ import annotations
 
-import os
+
 from dataclasses import dataclass
 
 import numpy as np

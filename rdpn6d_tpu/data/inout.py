@@ -9,7 +9,7 @@ from __future__ import annotations
 import json
 import os
 import struct
-from typing import Any, TextIO
+from typing import Any
 
 import numpy as np
 

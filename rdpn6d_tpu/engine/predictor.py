@@ -1,0 +1,109 @@
+"""Serving API: frames + detections in, 6DoF poses out.
+
+The deployment-facing entry the reference lacks (its only inference path is
+the evaluator loop): load a checkpoint once, then call ``predict`` with RGB-D
+frames and per-frame detections. Everything from ROI crop to allo->ego pose
+recovery runs inside one jitted program; batches are padded to a fixed size
+so the program compiles once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.assets import ClassAssets
+from ..data.pipeline import preprocess_batch
+from ..models import RDPN, dummy_batch
+from ..parallel import create_train_state, make_eval_step
+from ..solver import build_optimizer
+
+
+@dataclass
+class Detection:
+    obj_id: int
+    bbox_xyxy: np.ndarray          # [4] float
+    score: float = 1.0
+
+
+class Predictor:
+    def __init__(self, cfg: Config, assets: ClassAssets,
+                 ckpt_dir: str | None = None,
+                 params_pkl: str | None = None,
+                 batch_size: int = 16,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.assets = assets
+        self.batch_size = batch_size
+        self.model = RDPN(cfg, dtype=dtype)
+        variables = self.model.init(jax.random.PRNGKey(0),
+                                    dummy_batch(cfg, 2), train=False)
+        if params_pkl:
+            import pickle
+
+            with open(params_pkl, "rb") as f:
+                loaded = pickle.load(f)
+            variables = {"params": _merge(variables["params"],
+                                          loaded["params"]),
+                         "batch_stats": _merge(
+                             variables.get("batch_stats", {}),
+                             loaded.get("batch_stats", {}))}
+        tx = build_optimizer(cfg, total_iters=1)
+        self.state = create_train_state(cfg, variables, tx)
+        if ckpt_dir:
+            from .checkpoint import CheckpointManager
+
+            self.state, _ = CheckpointManager(ckpt_dir).restore(self.state)
+        self._eval_step = make_eval_step(cfg, self.model)
+        self._key = jax.random.PRNGKey(0)
+
+    def predict(self, rgb: np.ndarray, depth: np.ndarray, K: np.ndarray,
+                detections: Sequence[Detection]) -> list[dict[str, Any]]:
+        """One frame, any number of detections -> [{obj_id, R, t, score}]."""
+        n = len(detections)
+        if n == 0:
+            return []
+        bs = self.batch_size
+        out_all: list[dict[str, Any]] = []
+        for lo in range(0, n, bs):
+            dets = list(detections[lo:lo + bs])
+            pad = bs - len(dets)
+            dets_p = dets + [dets[-1]] * pad
+            samples = {
+                "rgb": np.tile(rgb[None].astype(np.float32), (bs, 1, 1, 1)),
+                "depth": np.tile(depth[None].astype(np.float32),
+                                 (bs, 1, 1)),
+                "K": np.tile(np.asarray(K, np.float32)[None], (bs, 1, 1)),
+                "bbox": np.stack([np.asarray(d.bbox_xyxy, np.float32)
+                                  for d in dets_p]),
+                "fps": np.stack([self.assets.for_obj(d.obj_id)["fps"]
+                                 for d in dets_p]),
+                "extent": np.stack([self.assets.for_obj(d.obj_id)["extent"]
+                                    for d in dets_p]),
+            }
+            batch = preprocess_batch(
+                self.cfg, {k: jnp.asarray(v) for k, v in samples.items()},
+                self._key, train=False)
+            batch["roi_cls"] = jnp.asarray(
+                [self.assets.obj_ids.index(d.obj_id) for d in dets_p],
+                jnp.int32)
+            out = self._eval_step(self.state, batch)
+            R = np.asarray(out["rot_ego"])
+            t = np.asarray(out["trans"])
+            for i, d in enumerate(dets):
+                out_all.append({"obj_id": d.obj_id, "R": R[i], "t": t[i],
+                                "score": d.score})
+        return out_all
+
+
+def _merge(dst, src):
+    out = dict(dst)
+    for k, v in src.items():
+        out[k] = _merge(out.get(k, {}), v) if isinstance(v, dict) \
+            else np.asarray(v)
+    return out

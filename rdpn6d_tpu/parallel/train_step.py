@@ -10,7 +10,7 @@ separate ``comm.reduce_dict`` round (engine.py:300).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable
 
 import jax
