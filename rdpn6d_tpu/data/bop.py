@@ -69,6 +69,67 @@ def _xyz_path(sdir: str, im_id: int, inst_idx: int) -> str:
     return os.path.join(sdir, "xyz_crop", f"{im_id:06d}_{inst_idx:06d}.pkl")
 
 
+def _build_ycb_style_records(split: Split, ref: DatasetRef,
+                             sel_ids: set[int],
+                             obj_ids_sorted: list[int]) -> list[dict]:
+    """YCB-Video/MP6D layout: data/{scene:04d}/{im:06d}-{color,depth,
+    label}.png + -meta.mat (PoseCNN convention; reference mp6d.py:140-163).
+
+    meta.mat keys: cls_indexes [n], poses [3,4,n], intrinsic_matrix,
+    factor_depth.
+    """
+    import glob
+
+    from scipy.io import loadmat
+
+    records = []
+    for scene_id in split.scene_ids:
+        sdir = os.path.join(ref.root, split.subdir, f"{scene_id:04d}")
+        if not os.path.isdir(sdir):
+            continue
+        for rgb_path in sorted(glob.glob(os.path.join(sdir,
+                                                      "*-color.png"))):
+            im_id = int(os.path.basename(rgb_path).split("-")[0])
+            base = rgb_path[:-len("-color.png")]
+            meta = loadmat(base + "-meta.mat")
+            K = np.asarray(meta["intrinsic_matrix"], np.float64)
+            factor = float(np.squeeze(meta.get("factor_depth",
+                                               ref.depth_factor)))
+            cls = np.atleast_1d(np.squeeze(
+                meta["cls_indexes"])).astype(int)
+            poses = np.asarray(meta["poses"], np.float64)
+            if poses.ndim == 2:
+                poses = poses[..., None]
+            for j, obj_id in enumerate(cls):
+                if obj_id not in sel_ids:
+                    continue
+                P = poses[:, :, j]
+                records.append({
+                    "dataset_name": split.name,
+                    "ref_name": split.ref_name,
+                    "scene_id": scene_id,
+                    "im_id": im_id,
+                    "rgb_path": rgb_path,
+                    "depth_path": base + "-depth.png",
+                    "label_path": base + "-label.png",
+                    "label_obj_id": int(obj_id),
+                    "depth_factor": factor,
+                    "K": K.astype(np.float32),
+                    "height": ref.height,
+                    "width": ref.width,
+                    "obj_id": int(obj_id),
+                    "cls_idx": obj_ids_sorted.index(int(obj_id)),
+                    "R": P[:3, :3].astype(np.float32),
+                    "t": P[:3, 3].astype(np.float32),
+                    "visib_fract": 1.0,
+                    "bbox_visib": None,
+                    "mask_visib_path": "",
+                    "xyz_path": _xyz_path(sdir, im_id, j),
+                    "inst_idx": j,
+                })
+    return records
+
+
 def build_split_records(split: Split, cache_dir: str | None = None,
                         flatten: bool = True) -> list[dict]:
     """Parse scene_gt/scene_camera/scene_gt_info into instance records."""
@@ -82,6 +143,14 @@ def build_split_records(split: Split, cache_dir: str | None = None,
                 return pickle.load(f)
 
     sel_objs = set(split.objs) if split.objs else set(ref.objects)
+    if ref.layout == "ycb_style":
+        records = _build_ycb_style_records(
+            split, ref, {ref.obj2id[o] for o in sel_objs}, ref.obj_ids)
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump(records, f)
+        return records
     sel_ids = {ref.obj2id[o] for o in sel_objs}
     obj_ids_sorted = ref.obj_ids
     records = []

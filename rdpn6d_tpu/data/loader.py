@@ -104,14 +104,23 @@ class RecordDecoder:
         K = rec["K"]
         R, t = rec["R"], rec["t"]
 
+        # visible-object mask first (needed by the xyz fallback) ----------
+        mask_visib = _imread_mask(rec.get("mask_visib_path", "")) \
+            if rec.get("mask_visib_path") else None
+        if mask_visib is None and rec.get("label_path"):
+            # YCB-style class-id label image (mp6d): mask = label == obj_id
+            import cv2
+
+            lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
+            if lab is not None:
+                mask_visib = (lab == rec["label_obj_id"]).astype(np.float32)
+
         import os
         if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
             xyz = load_xyz_crop(rec["xyz_path"], H, W)
         else:
             # depth-derived fallback: model-frame coords of VISIBLE surface
             # xyz = R^T (p_cam - t) on the measured depth, masked
-            mask = _imread_mask(rec.get("mask_visib_path", "")) \
-                if rec.get("mask_visib_path") else None
             u, v = np.meshgrid(np.arange(W, dtype=np.float32),
                                np.arange(H, dtype=np.float32))
             z = depth
@@ -119,11 +128,10 @@ class RecordDecoder:
                            (v - K[1, 2]) * z / K[1, 1], z], -1)
             xyz = (pc - t) @ R  # = R^T (p - t)
             m = (z > 1e-6)
-            if mask is not None:
-                m = m & (mask > 0)
+            if mask_visib is not None:
+                m = m & (mask_visib > 0)
             xyz *= m[..., None]
 
-        mask_visib = _imread_mask(rec.get("mask_visib_path", ""))
         if mask_visib is None:
             mask_visib = (np.abs(xyz).sum(-1) > 0).astype(np.float32)
 

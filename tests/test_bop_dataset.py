@@ -95,3 +95,55 @@ def test_records_and_loader(tiny_bop_dataset, monkeypatch):
     batch = next(it)
     assert batch["rgb"].shape == (2, 480, 640, 3)
     assert batch["gt_rot"].shape == (2, 3, 3)
+
+
+def test_ycb_style_records(tmp_path, monkeypatch):
+    """MP6D/YCB-Video layout: -color/-depth/-label pngs + -meta.mat."""
+    import cv2
+    from scipy.io import savemat
+
+    root = tmp_path / "bopy"
+    sdir = root / "mp6d" / "data" / "0001"
+    sdir.mkdir(parents=True)
+    K = np.array([[567.5, 0, 312.7], [0, 569.4, 257.2], [0, 0, 1]])
+    R = cv2.Rodrigues(np.array([0.2, 0.1, -0.3]))[0]
+    t = np.array([0.01, 0.02, 0.6])
+    depth, xyz = render_cube_depth(R.astype(np.float32),
+                                   t.astype(np.float32),
+                                   K.astype(np.float32), 480, 640)
+    label = (depth > 0).astype(np.uint8) * 3  # obj_id 3 label image
+    cv2.imwrite(str(sdir / "000000-color.png"),
+                np.dstack([label * 80] * 3))
+    cv2.imwrite(str(sdir / "000000-depth.png"),
+                (depth * 1000).astype(np.uint16))
+    cv2.imwrite(str(sdir / "000000-label.png"), label)
+    savemat(str(sdir / "000000-meta.mat"), {
+        "cls_indexes": np.array([[3]]),
+        "poses": np.dstack([np.hstack([R, t[:, None]])]),
+        "intrinsic_matrix": K,
+        "factor_depth": np.array([[1000.0]]),
+    })
+
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(root))
+    from rdpn6d_tpu.data.bop import register_split
+    register_split(Split("mp6d_tiny", "mp6d", "data", scene_ids=(1,)))
+    records = build_split_records(get_split_safe("mp6d_tiny"))
+    assert len(records) == 1
+    rec = records[0]
+    assert rec["obj_id"] == 3
+    np.testing.assert_allclose(rec["t"], t, atol=1e-6)
+    np.testing.assert_allclose(rec["K"], K, atol=1e-5)
+
+    cfg = Config().apply_opts(["head.num_regions=4"])
+    assets = synthetic_class_assets(num_regions=4)
+    assets.obj_ids[:] = [3]  # cube registered as obj 3
+    decoder = RecordDecoder(cfg, assets, num_pm_points=32)
+    sample = decoder(rec)
+    assert sample["mask_visib"].sum() > 100
+    m = sample["mask_visib"] > 0
+    assert np.abs(sample["xyz"][m]).max() < 0.06
+
+
+def get_split_safe(name):
+    from rdpn6d_tpu.data.bop import get_split
+    return get_split(name)
