@@ -205,8 +205,9 @@ def train_frame_iterator(cfg: Config, split_name: str,
     ref = get_ref(split.ref_name)
     if decoder is None:
         from .assets import load_class_assets
-        assets = load_class_assets(ref, cfg.head.num_regions,
-                                   cfg.loss.num_pm_points)
+        assets = load_class_assets(
+            ref, cfg.head.num_regions, cfg.loss.num_pm_points,
+            objs=list(split.objs) if split.objs else None)
         decoder = RecordDecoder(cfg, assets)
     bs = batch_size or cfg.solver.ims_per_batch
     sampler = InfiniteSampler(len(records), seed=seed)

@@ -102,8 +102,19 @@ def main(argv=None):
     if cfg.data.train2_datasets and cfg.data.train2_ratio > 0:
         loader2 = device_batches(cfg.data.train2_datasets[0], seed=1)
 
+    # periodic eval during training (engine.py:316-322)
+    eval_fn = None
+    if cfg.train.eval_period > 0 and cfg.data.test_datasets:
+        from .engine.eval_runner import run_eval
+
+        def eval_fn(state, it):
+            for test_split in cfg.data.test_datasets:
+                run_eval(cfg, ckpt_dir="", split_name=test_split,
+                         state=state, model=model)
+
     trainer.train(device_batches(split), start_iter=start,
-                  loader2=loader2, train2_ratio=cfg.data.train2_ratio)
+                  loader2=loader2, train2_ratio=cfg.data.train2_ratio,
+                  eval_fn=eval_fn)
     logger.info("training complete")
 
 

@@ -1,0 +1,93 @@
+"""CLI end-to-end: python -m rdpn6d_tpu.main over a tiny on-disk dataset —
+argument parsing, config module loading, record building, Trainer,
+checkpointing."""
+
+import json
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+import rdpn6d_tpu.data.refs as refs_mod
+from rdpn6d_tpu.data.synthetic import render_cube_depth
+
+
+@pytest.fixture()
+def tiny_ds(tmp_path):
+    import cv2
+
+    sdir = tmp_path / "ds" / "lm" / "train" / "000001"
+    (sdir / "rgb").mkdir(parents=True)
+    (sdir / "depth").mkdir()
+    (sdir / "mask_visib").mkdir()
+    # models for asset loading
+    from tests.test_eval_runner import write_cube_ply
+
+    mdir = tmp_path / "ds" / "lm" / "models"
+    write_cube_ply(str(mdir / "obj_000001.ply"))
+    (mdir / "models_info.json").write_text(json.dumps(
+        {"1": {"diameter": 173.2, "size_x": 100.0, "size_y": 100.0,
+               "size_z": 100.0}}))
+
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]])
+    gt, cam, info = {}, {}, {}
+    rng = np.random.RandomState(0)
+    for im_id in range(4):
+        R = cv2.Rodrigues(rng.randn(3) * 0.5)[0]
+        t = np.array([0.0, 0.0, 0.7])
+        depth, _ = render_cube_depth(R, t, K, 480, 640)
+        mask = (depth > 0).astype(np.uint8) * 255
+        cv2.imwrite(str(sdir / "rgb" / f"{im_id:06d}.png"),
+                    np.dstack([mask] * 3))
+        cv2.imwrite(str(sdir / "depth" / f"{im_id:06d}.png"),
+                    (depth * 1000).astype(np.uint16))
+        cv2.imwrite(str(sdir / "mask_visib" / f"{im_id:06d}_000000.png"),
+                    mask)
+        gt[str(im_id)] = [{"cam_R_m2c": R.flatten().tolist(),
+                           "cam_t_m2c": (t * 1000).tolist(), "obj_id": 1}]
+        cam[str(im_id)] = {"cam_K": K.flatten().tolist(),
+                           "depth_scale": 1.0}
+        info[str(im_id)] = [{"visib_fract": 1.0}]
+    (sdir / "scene_gt.json").write_text(json.dumps(gt))
+    (sdir / "scene_camera.json").write_text(json.dumps(cam))
+    (sdir / "scene_gt_info.json").write_text(json.dumps(info))
+    return tmp_path
+
+
+def test_cli_train_two_iters(tiny_ds, monkeypatch):
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(tiny_ds / "ds"))
+
+    cfg_path = tiny_ds / "exp.py"
+    out_dir = str(tiny_ds / "out").replace("\\", "/")
+    cfg_path.write_text(textwrap.dedent(f"""
+        from rdpn6d_tpu.config import Config
+        from rdpn6d_tpu.data.bop import Split, register_split
+
+        register_split(Split("cli_tiny_train", "lm", "train",
+                             scene_ids=(1,), objs=("ape",)))
+
+        def get_config():
+            return Config().apply_opts([
+                "backbone.depth=18", "backbone.input_res=64",
+                "head.out_res=16", "head.num_regions=4",
+                "head.num_filters=32", "data.input_res=64",
+                "data.out_res=16", "loss.num_pm_points=64",
+                'data.train_datasets=["cli_tiny_train"]',
+                "solver.ims_per_batch=2", "solver.total_epochs=1",
+                "solver.optimizer=adamw", "solver.warmup_iters=1",
+                "train.log_period=1",
+                'train.output_dir="{out_dir}"',
+            ])
+    """))
+
+    from rdpn6d_tpu.main import main
+
+    main(["--config-file", str(cfg_path)])
+
+    # artifacts: config dump, metrics, checkpoint
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+    metrics = open(os.path.join(out_dir, "metrics.json")).read().strip()
+    assert "total_loss" in metrics
+    ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
+    assert len(ckpts) >= 1
