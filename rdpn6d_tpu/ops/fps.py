@@ -78,6 +78,8 @@ def fps_jax(points: jax.Array, num_samples: int,
         idxs = idxs.at[i].set(cur)
         d = jnp.sum((points - points[cur]) ** 2, axis=-1)
         min_dist = jnp.minimum(min_dist, jnp.where(valid_mask, d, -big))
+        # never reselect (duplicate-point guard, matches the C++ mask)
+        min_dist = min_dist.at[cur].set(-big)
         return min_dist, idxs
 
     _, idxs = jax.lax.fori_loop(
@@ -114,6 +116,7 @@ def fps_numpy(points: np.ndarray, num_samples: int,
         idxs[i] = cur
         d = np.sum((pts - pts[cur]) ** 2, axis=-1)
         np.minimum(min_dist, d, out=min_dist)
+        min_dist[cur] = -np.inf  # never reselect
         cur = int(np.argmax(min_dist))
     return idxs
 
