@@ -37,6 +37,11 @@ def _load_native():
                       "libfps.so")
     so = os.path.abspath(so)
     if not os.path.exists(so):
+        import subprocess
+
+        subprocess.run(["make", "-C", os.path.dirname(so)], check=False,
+                       capture_output=True)
+    if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
     lib.farthest_point_sampling_init_center.argtypes = [

@@ -25,6 +25,11 @@ def _load():
                                       "csrc", "rasterizer",
                                       "librasterizer.so"))
     if not os.path.exists(so):
+        import subprocess
+
+        subprocess.run(["make", "-C", os.path.dirname(so)], check=False,
+                       capture_output=True)
+    if not os.path.exists(so):
         raise RuntimeError(
             f"rasterizer library not built; run: make -C {os.path.dirname(so)}")
     lib = ctypes.CDLL(so)
