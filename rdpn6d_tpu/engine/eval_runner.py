@@ -75,6 +75,18 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
 
     key = jax.random.PRNGKey(0)
 
+    # fuse preprocessing + model into ONE compiled program per batch:
+    # a single device dispatch instead of two (relay round-trips are the
+    # fixed cost of small-batch eval)
+    inner_eval = eval_step
+
+    def fused_step(state, frames):
+        batch = preprocess_batch(cfg, frames, key, train=False)
+        batch["roi_cls"] = frames["roi_cls"]
+        return inner_eval(state, batch)
+
+    eval_step_fused = jax.jit(fused_step)
+
     def batches():
         for i in range(0, len(records), batch_size):
             chunk = records[i:i + batch_size]
@@ -96,9 +108,11 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                 samples.append(samples[-1])
             stacked = {k: jnp.asarray(np.stack([s[k] for s in samples]))
                        for k in samples[0]}
-            yield preprocess_batch(cfg, stacked, key, train=False), meta
+            yield stacked, meta
 
-    stats = inference_on_dataset(eval_step, state, batches(), evaluator)
+    stats = inference_on_dataset(eval_step_fused, state, batches(),
+                                 evaluator)
+
     csv = csv_path or os.path.join(cfg.train.output_dir,
                                    f"{split_name}_bop19.csv")
     result = evaluate_and_report(evaluator, cfg, obj2id=ref.obj2id,
