@@ -153,3 +153,41 @@ def test_pipeline_pose_target_roundtrip(processed):
         out["resize_ratio"][None])
     np.testing.assert_allclose(np.asarray(t_rec[0]), t, atol=1e-4)
     np.testing.assert_allclose(np.asarray(R_rec[0]), R, atol=1e-4)
+
+
+def test_grouped_preprocess_matches_stacked(processed):
+    """Frame-deduplicated path == per-ROI stacked path."""
+    from rdpn6d_tpu.data.pipeline import (
+        preprocess_batch,
+        preprocess_rois_grouped,
+    )
+
+    cfg, sample, _, _ = processed
+    # two ROIs sharing ONE frame, different boxes
+    frames = {k: jnp.asarray(np.asarray(sample[k]))[None]
+              for k in ("rgb", "depth", "K")}
+    bbox2 = jnp.stack([sample["bbox"], sample["bbox"] + 10.0])
+    rois = {
+        "frame_idx": jnp.array([0, 0], jnp.int32),
+        "bbox": bbox2,
+        "fps": jnp.stack([sample["fps"]] * 2),
+        "extent": jnp.stack([sample["extent"]] * 2),
+    }
+    out_g = preprocess_rois_grouped(Config(), frames, rois,
+                                    jax.random.PRNGKey(0), train=False)
+
+    stacked = {
+        "rgb": jnp.stack([sample["rgb"]] * 2),
+        "depth": jnp.stack([sample["depth"]] * 2),
+        "K": jnp.stack([sample["K"]] * 2),
+        "bbox": bbox2,
+        "fps": rois["fps"],
+        "extent": rois["extent"],
+    }
+    out_s = preprocess_batch(Config(), stacked, jax.random.PRNGKey(0),
+                             train=False)
+    np.testing.assert_allclose(np.asarray(out_g["roi_img"]),
+                               np.asarray(out_s["roi_img"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_g["roi_coord_2d"]),
+                               np.asarray(out_s["roi_coord_2d"]),
+                               atol=1e-5)
