@@ -93,7 +93,7 @@ def main() -> None:
                            train=False)
 
     best_bs, best = 0, 0.0
-    for bs in (32, 64, 128):
+    for bs in (64, 128):
         pps = _measure(model, variables, bs, cfg)
         if pps > best:
             best_bs, best = bs, pps

@@ -1,0 +1,34 @@
+"""Predictor serving API smoke: frames + detections -> poses."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rdpn6d_tpu.config import Config
+from rdpn6d_tpu.data.assets import synthetic_class_assets
+from rdpn6d_tpu.engine.predictor import Detection, Predictor
+
+
+def test_predictor_smoke():
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+    ])
+    assets = synthetic_class_assets(num_regions=4)
+    pred = Predictor(cfg, assets, batch_size=4, dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    rgb = rng.rand(480, 640, 3).astype(np.float32) * 255
+    depth = np.full((480, 640), 0.8, np.float32)
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                 np.float32)
+    dets = [Detection(obj_id=1, bbox_xyxy=np.array([200, 150, 330, 280.0]),
+                      score=0.9),
+            Detection(obj_id=1, bbox_xyxy=np.array([300, 200, 420, 320.0]),
+                      score=0.8)]
+    out = pred.predict(rgb, depth, K, dets)
+    assert len(out) == 2
+    for r in out:
+        assert r["R"].shape == (3, 3) and r["t"].shape == (3,)
+        assert np.isfinite(r["R"]).all() and np.isfinite(r["t"]).all()
+    assert pred.predict(rgb, depth, K, []) == []
