@@ -85,6 +85,31 @@ def score_error_recalls(
     return out
 
 
+def make_vsd_error_fn(meshes: dict[int, tuple[np.ndarray, np.ndarray]],
+                      depth_loader: Callable[[int, int], np.ndarray],
+                      diameters: dict[int, float],
+                      delta: float = 15.0 / 1000.0,
+                      tau: float = 0.05) -> Callable[[dict, dict], float]:
+    """VSD error_fn for ``score_error_recalls`` / ``bop19_average_recalls``.
+
+    meshes: {obj_id: (verts [V,3], faces [F,3])}; depth_loader returns the
+    scene test depth (m) for (scene_id, im_id). Renders est/gt with the
+    native rasterizer (the reference spawns a GL renderer inside
+    eval_calc_errors.py:189-196).
+    """
+    from .bop_errors import vsd
+
+    def err(est: dict, gt: dict) -> float:
+        depth = depth_loader(est["scene_id"], est["im_id"])
+        v, f = meshes[gt["obj_id"]]
+        return vsd(np.asarray(est["R"]), np.asarray(est["t"]),
+                   np.asarray(gt["R"]), np.asarray(gt["t"]), depth,
+                   np.asarray(gt["K"]), v, f, delta=delta, taus=(tau,),
+                   diameter=diameters[gt["obj_id"]])[0]
+
+    return err
+
+
 def bop19_average_recalls(
     estimates: list[dict[str, Any]],
     gts: dict[tuple[int, int], list[dict[str, Any]]],

@@ -60,3 +60,33 @@ def test_bop19_average_recalls_perfect():
     assert out["AR_mssd"] == 1.0
     assert out["AR_mspd"] == 1.0
     assert out["AR"] == 1.0
+
+
+def test_vsd_error_fn_with_rasterizer():
+    """VSD plugged into the localization scorer via make_vsd_error_fn."""
+    from rdpn6d_tpu.evaluation.bop_score import make_vsd_error_fn
+    from rdpn6d_tpu.ops.rasterizer import render_mesh
+
+    h = 0.05
+    v = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                  for z in (-h, h)], np.float32)
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    f = np.array([t for a, b, c, d in quads
+                  for t in ((a, b, c), (a, c, d))], np.int32)
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                 np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.6], np.float32)
+    depth_scene, _ = render_mesh(v, f, K, R, t, 480, 640)
+
+    err_fn = make_vsd_error_fn(
+        meshes={1: (v, f)},
+        depth_loader=lambda s, i: depth_scene,
+        diameters={1: float(0.1 * np.sqrt(3))})
+    est = {"scene_id": 0, "im_id": 0, "R": R, "t": t}
+    gt = {"obj_id": 1, "R": R, "t": t, "K": K}
+    assert err_fn(est, gt) < 1e-6
+    est_bad = {"scene_id": 0, "im_id": 0, "R": R,
+               "t": t + np.array([0.2, 0, 0], np.float32)}
+    assert err_fn(est_bad, gt) > 0.9
