@@ -21,7 +21,11 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 from rdpn6d_tpu.config import Config
 from rdpn6d_tpu.data.pipeline import preprocess_batch
