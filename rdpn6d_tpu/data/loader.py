@@ -200,6 +200,9 @@ def train_frame_iterator(cfg: Config, split_name: str,
     ``preprocess_batch``. Decoding runs in a prefetch thread."""
     split = get_split(split_name)
     records = build_split_records(split, cache_dir=cache_dir, flatten=True)
+    if cfg.data.filter_visib_thr > 0:  # visib>=thr filter (ycbv visib20)
+        records = [r for r in records
+                   if r.get("visib_fract", 1.0) >= cfg.data.filter_visib_thr]
     if not records:
         raise RuntimeError(f"split {split_name} produced no records")
     ref = get_ref(split.ref_name)
