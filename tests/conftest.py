@@ -8,7 +8,9 @@ its distributed paths are only testable by launching real DDP, SURVEY.md §4).
 import os
 
 # Force-override: the environment pins JAX_PLATFORMS to the single-chip TPU
-# tunnel; tests must run on the virtual 8-device CPU mesh.
+# tunnel; tests must run on the virtual 8-device CPU mesh. The sitecustomize
+# hook may have imported jax already (making env vars moot), so ALSO set the
+# platform via jax.config — that works until the first backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,6 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: model-graph compiles dominate test wall-clock
 # on this 1-core host; cache them across runs.
