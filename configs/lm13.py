@@ -11,7 +11,9 @@ from rdpn6d_tpu.config import Config
 def get_config() -> Config:
     cfg = Config(exp_name="lm13")
     return cfg.apply_opts([
-        'data.train_datasets=["lm_13_train"]',
+        # real image_set split + 1k-per-obj imgn renders, concatenated
+        # (reference a6_cPnP_lm13.py:36)
+        'data.train_datasets=["lm_13_train", "lm_imgn_13_train_1k_per_obj"]',
         'data.test_datasets=["lm_13_test"]',
         "data.color_aug_prob=0.8",
         "head.num_classes=13",

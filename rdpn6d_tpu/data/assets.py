@@ -52,15 +52,26 @@ def sample_points(pts: np.ndarray, n: int, seed: int = 2021) -> np.ndarray:
 def load_class_assets(ref: DatasetRef, num_regions: int = 32,
                       num_pm_points: int = 3000,
                       max_sym_disc_step: float = 0.01,
-                      objs: list[str] | None = None) -> ClassAssets:
+                      objs: list[str] | None = None,
+                      use_eval_models: bool = False) -> ClassAssets:
     """Build the full asset bank for a dataset from its model directory.
 
     Falls back to computing FPS keypoints with our FPS kernel when the
     precomputed fps_points.pkl is absent (the reference hard-requires the
-    pkl, ref/ycbv.py:104-109).
+    pkl, ref/ycbv.py:104-109). ``use_eval_models`` loads the decimated
+    ``models_eval`` meshes + their models_info — what the reference scores
+    ADD/ADI on (gdrn_custom_evaluator.py model_eval_dir).
     """
+    import os
+
+    model_dir = ref.eval_model_dir if use_eval_models else ref.model_dir
     obj_ids = [ref.obj2id[o] for o in (objs or ref.objects)]
-    info = ref.models_info()
+    info_path = os.path.join(model_dir, "models_info.json")
+    if os.path.exists(info_path):
+        from .refs import _load_models_info
+        info = _load_models_info(info_path)
+    else:
+        info = ref.models_info()
     try:
         fps_pkl = ref.fps_points(num_regions)
     except (FileNotFoundError, KeyError):
@@ -69,7 +80,8 @@ def load_class_assets(ref: DatasetRef, num_regions: int = 32,
     pts_l, ext_l, fps_l, sym_l, dia_l = [], [], [], [], []
     for oid in obj_ids:
         mi = info[str(oid)]
-        ply = load_ply(ref.model_path(oid), vertex_scale=ref.vertex_scale)
+        ply = load_ply(os.path.join(model_dir, f"obj_{oid:06d}.ply"),
+                       vertex_scale=ref.vertex_scale)
         pts = ply["pts"].astype(np.float32)
         pts_l.append(sample_points(pts, num_pm_points))
         ext_l.append(np.array([mi["size_x"], mi["size_y"], mi["size_z"]],

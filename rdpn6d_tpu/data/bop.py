@@ -29,7 +29,19 @@ from .refs import DatasetRef, get_ref
 
 @dataclass(frozen=True)
 class Split:
-    """A named dataset split: which scenes of which subdir to load."""
+    """A named dataset split: which scenes of which subdir to load.
+
+    Image selection, most specific wins:
+    - ``per_obj_index``: template like ``image_set/{obj}_train.txt`` — one
+      index file of bare image ids per object, each over scene
+      ``subdir/{obj_id:06d}``, instances restricted to that object
+      (the reference's LM protocol, lm_dataset_d2.py:103-130 +
+      filter_scene).
+    - ``index_file``: single file of ``scene_id/im_id`` lines relative to
+      the dataset root (the reference's YCB-V protocol: image_sets/train.txt
+      and keyframe.txt, ycbv_d2.py:79-97).
+    - otherwise: every image of every scene in ``scene_ids``.
+    """
     name: str                      # e.g. "ycbv_train_real"
     ref_name: str                  # key into data.refs.REFS
     subdir: str                    # e.g. "train_real", "test", "train_pbr"
@@ -38,6 +50,9 @@ class Split:
     filter_invalid: bool = True
     visib_thr: float = 0.0
     targets_file: str = ""         # BOP19 targets json (test splits)
+    index_file: str = ""           # scene/im index (ycbv style)
+    per_obj_index: str = ""        # per-object index template (lm style)
+    n_per_obj: int = -1            # uniform subsample per object (lm_imgn)
 
 
 def _scene_dir(ref: DatasetRef, subdir: str, scene_id: int) -> str:
@@ -64,9 +79,28 @@ def _mask_visib_path(sdir: str, im_id: int, inst_idx: int) -> str:
     return os.path.join(sdir, "mask_visib", f"{im_id:06d}_{inst_idx:06d}.png")
 
 
-def _xyz_path(sdir: str, im_id: int, inst_idx: int) -> str:
-    """Precomputed NOCS-style GT coordinate crop (tools/gen_xyz_crop.py)."""
-    return os.path.join(sdir, "xyz_crop", f"{im_id:06d}_{inst_idx:06d}.pkl")
+def _xyz_path(ref: DatasetRef, subdir: str, sdir: str, scene_id: int,
+              im_id: int, inst_idx: int) -> str:
+    """Precomputed NOCS-style GT coordinate crop.
+
+    Three layouts are probed so reference-generated data works unchanged:
+    - ours (tools/gen_xyz_crop.py): ``<scene>/xyz_crop/<im>_<inst>.pkl``
+    - reference YCB-V (ycbv_d2.py:87,225):
+      ``<subdir>/xyz_crop/<scene:06d>/<im>_<inst>-xyz.pkl``
+    - reference LM (lm_dataset_d2.py:188, xyz_prefixes at :318):
+      ``<subdir>/xyz_crop/<scene:06d>/<im>_<inst>.pkl``
+    """
+    stem = f"{im_id:06d}_{inst_idx:06d}"
+    shared = os.path.join(ref.root, subdir, "xyz_crop", f"{scene_id:06d}")
+    candidates = (
+        os.path.join(sdir, "xyz_crop", f"{stem}.pkl"),
+        os.path.join(shared, f"{stem}-xyz.pkl"),
+        os.path.join(shared, f"{stem}.pkl"),
+    )
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return candidates[0]
 
 
 def _build_ycb_style_records(split: Split, ref: DatasetRef,
@@ -124,10 +158,51 @@ def _build_ycb_style_records(split: Split, ref: DatasetRef,
                     "visib_fract": 1.0,
                     "bbox_visib": None,
                     "mask_visib_path": "",
-                    "xyz_path": _xyz_path(sdir, im_id, j),
+                    "xyz_path": _xyz_path(ref, split.subdir, sdir, scene_id,
+                                          im_id, j),
                     "inst_idx": j,
                 })
     return records
+
+
+def _read_index_lines(path: str) -> list[str]:
+    with open(path) as f:
+        return [ln.strip("\r\n ") for ln in f if ln.strip()]
+
+
+def _scene_plan(split: Split,
+                ref: DatasetRef) -> list[tuple[int, list[int] | None,
+                                               set[int] | None]]:
+    """(scene_id, selected im_ids or None=all, obj_id filter or None)."""
+    if split.per_obj_index:
+        objs = split.objs or tuple(ref.objects)
+        plan = []
+        for obj in objs:
+            oid = ref.obj2id[obj]
+            idx = os.path.join(ref.root, split.per_obj_index.format(obj=obj))
+            im_ids = [int(ln) for ln in _read_index_lines(idx)]
+            plan.append((oid, im_ids, {oid}))
+        return plan
+    if split.index_file:
+        idx = os.path.join(ref.root, split.index_file)
+        if os.path.exists(idx):
+            by_scene: dict[int, list[int]] = {}
+            for ln in _read_index_lines(idx):
+                scene_s, im_s = ln.split("/")
+                by_scene.setdefault(int(scene_s), []).append(int(im_s))
+            return [(sid, ims, None)
+                    for sid, ims in sorted(by_scene.items())]
+        # fall through: trees without image_sets/ use the full scene list
+    return [(sid, None, None) for sid in split.scene_ids]
+
+
+def _depth_factor(ref: DatasetRef, cam: dict) -> float:
+    """Raw-depth divisor giving meters: BOP raw*depth_scale = mm, so the
+    factor is 1000/depth_scale (reference ycbv_d2.py:128,
+    lm_dataset_d2.py:126) regardless of dataset."""
+    if "depth_scale" in cam:
+        return 1000.0 / float(cam["depth_scale"])
+    return ref.depth_factor
 
 
 def build_split_records(split: Split, cache_dir: str | None = None,
@@ -146,22 +221,34 @@ def build_split_records(split: Split, cache_dir: str | None = None,
     if ref.layout == "ycb_style":
         records = _build_ycb_style_records(
             split, ref, {ref.obj2id[o] for o in sel_objs}, ref.obj_ids)
-        if cache_dir:
-            os.makedirs(cache_dir, exist_ok=True)
-            with open(cache_path, "wb") as f:
-                pickle.dump(records, f)
-        return records
+    elif ref.layout == "imgn":
+        records = _build_imgn_records(split, ref, sel_objs)
+    else:
+        records = _build_bop_records(split, ref, sel_objs, flatten)
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(cache_path, "wb") as f:
+            pickle.dump(records, f)
+    return records
+
+
+def _build_bop_records(split: Split, ref: DatasetRef, sel_objs: set[str],
+                       flatten: bool) -> list[dict]:
     sel_ids = {ref.obj2id[o] for o in sel_objs}
     obj_ids_sorted = ref.obj_ids
     records = []
-    for scene_id in split.scene_ids:
+    for scene_id, im_sel, obj_filter in _scene_plan(split, ref):
         sdir = _scene_dir(ref, split.subdir, scene_id)
         gt = load_scene_gt(os.path.join(sdir, "scene_gt.json"))
         cams = load_scene_camera(os.path.join(sdir, "scene_camera.json"))
         info_path = os.path.join(sdir, "scene_gt_info.json")
         infos = load_scene_gt_info(info_path) if os.path.exists(info_path) \
             else {}
-        for im_id, insts in sorted(gt.items()):
+        scene_ids_sel = sel_ids if obj_filter is None \
+            else sel_ids & obj_filter
+        im_iter = sorted(gt.items()) if im_sel is None \
+            else [(i, gt[i]) for i in im_sel]
+        for im_id, insts in im_iter:
             cam = cams[im_id]
             image_rec = {
                 "dataset_name": split.name,
@@ -170,15 +257,14 @@ def build_split_records(split: Split, cache_dir: str | None = None,
                 "im_id": im_id,
                 "rgb_path": _rgb_path(ref, sdir, im_id),
                 "depth_path": _depth_path(ref, sdir, im_id),
-                "depth_factor": ref.depth_factor / cam.get("depth_scale", 1.0)
-                if "depth_scale" in cam else ref.depth_factor,
+                "depth_factor": _depth_factor(ref, cam),
                 "K": cam["K"].astype(np.float32),
                 "height": ref.height,
                 "width": ref.width,
             }
             inst_recs = []
             for inst_idx, inst in enumerate(insts):
-                if inst["obj_id"] not in sel_ids:
+                if inst["obj_id"] not in scene_ids_sel:
                     continue
                 info = infos.get(im_id, [{}] * len(insts))[inst_idx] \
                     if infos else {}
@@ -188,6 +274,9 @@ def build_split_records(split: Split, cache_dir: str | None = None,
                     continue
                 bbox = info.get("bbox_visib", None) or info.get(
                     "bbox_obj", None)
+                if split.filter_invalid and bbox is not None \
+                        and (bbox[2] <= 1 or bbox[3] <= 1):
+                    continue  # degenerate box (lm_dataset_d2.py:160-163)
                 rec = {
                     "obj_id": inst["obj_id"],
                     "cls_idx": obj_ids_sorted.index(inst["obj_id"]),
@@ -198,7 +287,8 @@ def build_split_records(split: Split, cache_dir: str | None = None,
                         bbox, np.float32) if bbox is not None else None,
                     "mask_visib_path": _mask_visib_path(sdir, im_id,
                                                         inst_idx),
-                    "xyz_path": _xyz_path(sdir, im_id, inst_idx),
+                    "xyz_path": _xyz_path(ref, split.subdir, sdir, scene_id,
+                                          im_id, inst_idx),
                     "inst_idx": inst_idx,
                 }
                 inst_recs.append(rec)
@@ -209,11 +299,57 @@ def build_split_records(split: Split, cache_dir: str | None = None,
                     records.append({**image_rec, **rec})
             else:
                 records.append({**image_rec, "instances": inst_recs})
+    return records
 
-    if cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
-        with open(cache_path, "wb") as f:
-            pickle.dump(records, f)
+
+def _build_imgn_records(split: Split, ref: DatasetRef,
+                        sel_objs: set[str]) -> list[dict]:
+    """ImageNet-composited synthetic LM (reference lm_syn_imgn.py:107-190):
+    per-object index files ``image_set/train_{obj}.txt`` whose last token is
+    ``{obj}/{id}``; images ``imgn/{obj}/{id}-color.png``; pose from
+    ``-pose.txt`` (skip header row); GT xyz at
+    ``xyz_crop_imgn/{obj}/{id}-xyz.pkl``; fixed LM camera, depth in mm.
+    One instance per image; mask/bbox derived from depth>0 at decode time."""
+    objs = [o for o in (split.objs or tuple(ref.objects)) if o in sel_objs]
+    obj_ids_sorted = ref.obj_ids
+    K = ref.K()
+    records = []
+    for obj in objs:
+        idx_path = os.path.join(
+            ref.root, split.per_obj_index.format(obj=obj))
+        ids = [ln.split()[-1] for ln in _read_index_lines(idx_path)]
+        if split.n_per_obj > 0 and len(ids) > split.n_per_obj:
+            sel = np.linspace(0, len(ids) - 1, split.n_per_obj,
+                              dtype=np.int64)
+            ids = [ids[int(i)] for i in sel]
+        oid = ref.obj2id[obj]
+        for j, im_id in enumerate(ids):
+            base = os.path.join(ref.root, "imgn", im_id)
+            pose = np.loadtxt(base + "-pose.txt", skiprows=1,
+                              dtype=np.float64)
+            tail = im_id.split("/")[-1]
+            records.append({
+                "dataset_name": split.name,
+                "ref_name": split.ref_name,
+                "scene_id": oid,
+                "im_id": int(tail) if tail.isdigit() else j,
+                "rgb_path": base + "-color.png",
+                "depth_path": base + "-depth.png",
+                "depth_factor": 1000.0,
+                "K": K.astype(np.float32),
+                "height": ref.height,
+                "width": ref.width,
+                "obj_id": oid,
+                "cls_idx": obj_ids_sorted.index(oid),
+                "R": pose[:3, :3].astype(np.float32),
+                "t": pose[:3, 3].astype(np.float32),
+                "visib_fract": 1.0,
+                "bbox_visib": None,
+                "mask_visib_path": "",
+                "xyz_path": os.path.join(ref.root, "xyz_crop_imgn",
+                                         im_id + "-xyz.pkl"),
+                "inst_idx": 0,
+            })
     return records
 
 
@@ -242,25 +378,40 @@ def available_splits() -> list[str]:
 def _register_defaults() -> None:
     from .refs import LM13_OBJECTS, LM
 
-    lm13_ids = tuple(LM.obj2id[o] for o in LM13_OBJECTS)
-    register_split(Split("lm_13_train", "lm", "train",
-                         scene_ids=lm13_ids, objs=LM13_OBJECTS))
-    register_split(Split("lm_13_test", "lm", "test",
-                         scene_ids=lm13_ids, objs=LM13_OBJECTS,
+    # LM protocol (reference lm_dataset_d2.py:304-360): train/test are
+    # per-object index files over the BOP ``test`` scenes — LM has no
+    # ``train`` image directory.
+    register_split(Split("lm_13_train", "lm", "test", objs=LM13_OBJECTS,
+                         per_obj_index="image_set/{obj}_train.txt"))
+    register_split(Split("lm_13_test", "lm", "test", objs=LM13_OBJECTS,
+                         per_obj_index="image_set/{obj}_test.txt",
+                         filter_invalid=False,
                          targets_file="test_targets_bop19.json"))
+    # synthetic imgn renders (lm_syn_imgn.py:290-320); flagship LM config
+    # trains on lm_13_train + this at 1k images per object
+    register_split(Split("lm_imgn_13_train_1k_per_obj", "lm_imgn", "imgn",
+                         objs=LM13_OBJECTS, n_per_obj=1000,
+                         per_obj_index="image_set/train_{obj}.txt"))
     register_split(Split("lmo_train", "lmo", "train",
                          scene_ids=(2,)))
     register_split(Split("lmo_bop_test", "lmo", "test", scene_ids=(2,),
+                         filter_invalid=False,
                          targets_file="test_targets_bop19.json"))
     register_split(Split("lmo_pbr_train", "lmo", "train_pbr",
                          scene_ids=tuple(range(50))))
+    # YCB-V protocol (reference ycbv_d2.py:377-412): image_sets index files;
+    # test = the PoseCNN keyframes. Scene lists kept as fallback for trees
+    # without image_sets/.
     register_split(Split("ycbv_train_real", "ycbv", "train_real",
                          scene_ids=tuple(i for i in range(92)
-                                         if i not in range(48, 60))))
+                                         if i not in range(48, 60)),
+                         index_file="image_sets/train.txt"))
     register_split(Split("ycbv_train_pbr", "ycbv", "train_pbr",
                          scene_ids=tuple(range(50))))
     register_split(Split("ycbv_test", "ycbv", "test",
                          scene_ids=tuple(range(48, 60)),
+                         index_file="image_sets/keyframe.txt",
+                         filter_invalid=False,
                          targets_file="test_targets_bop19.json"))
     register_split(Split("mp6d_train", "mp6d", "data",
                          scene_ids=tuple(range(1, 21))))

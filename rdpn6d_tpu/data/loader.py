@@ -190,7 +190,26 @@ def _stack(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
-def train_frame_iterator(cfg: Config, split_name: str,
+def load_train_records(cfg: Config, split_names: str | list[str],
+                       cache_dir: str | None = None) -> list[dict]:
+    """Concatenated, visibility-filtered records of one or more train
+    splits (the reference concatenates all DATASETS.TRAIN names,
+    data_loader.py:1046-1060)."""
+    if isinstance(split_names, str):
+        split_names = [split_names]
+    records: list[dict] = []
+    for name in split_names:
+        records.extend(build_split_records(
+            get_split(name), cache_dir=cache_dir, flatten=True))
+    if cfg.data.filter_visib_thr > 0:  # visib>=thr filter (ycbv visib20)
+        records = [r for r in records
+                   if r.get("visib_fract", 1.0) >= cfg.data.filter_visib_thr]
+    if not records:
+        raise RuntimeError(f"splits {split_names} produced no records")
+    return records
+
+
+def train_frame_iterator(cfg: Config, split_name: str | list[str],
                          decoder: RecordDecoder | None = None,
                          batch_size: int | None = None,
                          seed: int = 0,
@@ -198,13 +217,9 @@ def train_frame_iterator(cfg: Config, split_name: str,
                          num_prefetch: int = 2) -> Iterator[dict]:
     """Infinite iterator of stacked frame batches ready for
     ``preprocess_batch``. Decoding runs in a prefetch thread."""
-    split = get_split(split_name)
-    records = build_split_records(split, cache_dir=cache_dir, flatten=True)
-    if cfg.data.filter_visib_thr > 0:  # visib>=thr filter (ycbv visib20)
-        records = [r for r in records
-                   if r.get("visib_fract", 1.0) >= cfg.data.filter_visib_thr]
-    if not records:
-        raise RuntimeError(f"split {split_name} produced no records")
+    names = [split_name] if isinstance(split_name, str) else list(split_name)
+    records = load_train_records(cfg, names, cache_dir=cache_dir)
+    split = get_split(names[0])
     ref = get_ref(split.ref_name)
     if decoder is None:
         from .assets import load_class_assets

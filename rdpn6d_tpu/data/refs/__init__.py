@@ -21,6 +21,17 @@ import numpy as np
 
 DATA_ROOT = os.environ.get("RDPN6D_DATA_ROOT", "datasets/BOP_DATASETS")
 
+_MODELS_INFO_CACHE: dict[tuple[str, float], dict] = {}
+
+
+def _load_models_info(path: str) -> dict:
+    """models_info.json, cached by (path, mtime)."""
+    key = (path, os.stat(path).st_mtime)
+    if key not in _MODELS_INFO_CACHE:
+        with open(path) as f:
+            _MODELS_INFO_CACHE[key] = json.load(f)
+    return _MODELS_INFO_CACHE[key]
+
 
 @dataclass(frozen=True)
 class DatasetRef:
@@ -34,7 +45,9 @@ class DatasetRef:
     vertex_scale: float = 0.001              # PLY mm -> m
     model_subdir: str = "models"
     eval_model_subdir: str = "models_eval"
-    layout: str = "bop"                      # bop | ycb_style (mp6d)
+    layout: str = "bop"                      # bop | ycb_style (mp6d) | imgn
+    model_ref: str = ""                      # borrow models from another ref
+    diameters_reliable: bool = True          # False -> require models_info
     extra_cameras: dict[str, tuple[tuple[float, ...], ...]] = field(
         default_factory=dict)
 
@@ -57,7 +70,18 @@ class DatasetRef:
 
     @property
     def model_dir(self) -> str:
+        if self.model_ref:  # e.g. lm_imgn borrows BOP lm meshes
+            return get_ref(self.model_ref).model_dir
         return os.path.join(self.root, self.model_subdir)
+
+    @property
+    def eval_model_dir(self) -> str:
+        """Decimated eval meshes (reference model_eval_dir, ref/ycbv.py);
+        falls back to the train meshes when models_eval/ is absent."""
+        if self.model_ref:
+            return get_ref(self.model_ref).eval_model_dir
+        d = os.path.join(self.root, self.eval_model_subdir)
+        return d if os.path.isdir(d) else self.model_dir
 
     def model_path(self, obj_id: int) -> str:
         return os.path.join(self.model_dir, f"obj_{obj_id:06d}.ply")
@@ -66,13 +90,24 @@ class DatasetRef:
         return np.asarray(self.camera_matrix, np.float32)
 
     def diameter_m(self, obj_id: int) -> float:
-        return self.diameters_mm[self.obj_ids.index(obj_id)] / 1000.0
+        """Object diameter in meters; prefers models_info.json on disk,
+        falls back to the static table. Refs whose static table is a
+        placeholder (diameters_reliable=False) refuse to guess."""
+        try:
+            info = self.models_info()
+            return float(info[str(obj_id)]["diameter"]) / 1000.0
+        except (FileNotFoundError, KeyError):
+            if not self.diameters_reliable:
+                raise RuntimeError(
+                    f"{self.name}: no models_info.json and the built-in "
+                    f"diameter table is a placeholder; provide "
+                    f"{self.model_dir}/models_info.json")
+            return self.diameters_mm[self.obj_ids.index(obj_id)] / 1000.0
 
     # asset accessors ---------------------------------------------------
     def models_info(self) -> dict[str, Any]:
-        path = os.path.join(self.model_dir, "models_info.json")
-        with open(path) as f:
-            return json.load(f)
+        return _load_models_info(os.path.join(self.model_dir,
+                                              "models_info.json"))
 
     def fps_points(self, num_fps: int = 32,
                    with_center: bool = False) -> dict[int, np.ndarray]:
@@ -169,7 +204,8 @@ TLESS = DatasetRef(
 ITODD = DatasetRef(
     name="itodd",
     id2obj={i: f"obj_{i:02d}" for i in range(1, 29)},
-    diameters_mm=tuple([100.0] * 28),  # from models_info.json at runtime
+    diameters_mm=tuple([100.0] * 28),  # placeholder: models_info required
+    diameters_reliable=False,
     camera_matrix=((2992.63, 0.0, 633.886), (0.0, 3003.985, 489.554),
                    (0.0, 0.0, 1.0)),
     width=1280, height=960,
@@ -178,7 +214,8 @@ ITODD = DatasetRef(
 HB = DatasetRef(
     name="hb",
     id2obj={i: f"obj_{i:02d}" for i in range(1, 34)},
-    diameters_mm=tuple([100.0] * 33),
+    diameters_mm=tuple([100.0] * 33),  # placeholder: models_info required
+    diameters_reliable=False,
     camera_matrix=((537.4799, 0.0, 318.8965), (0.0, 536.1447, 238.3781),
                    (0.0, 0.0, 1.0)),
 )
@@ -199,8 +236,23 @@ ICBIN = DatasetRef(
                    (0.0, 0.0, 1.0)),
 )
 
+# ImageNet-composited synthetic LM renders (reference lm_syn_imgn.py:
+# datasets/lm_imgn/{imgn,image_set,xyz_crop_imgn}, LM camera, depth in mm,
+# meshes borrowed from BOP lm). Lives at DATA_ROOT/lm_imgn (the reference
+# keeps it beside, not inside, BOP_DATASETS — point RDPN6D_DATA_ROOT or a
+# symlink accordingly).
+LM_IMGN = DatasetRef(
+    name="lm_imgn",
+    id2obj=LM.id2obj,
+    diameters_mm=LM.diameters_mm,
+    camera_matrix=LM.camera_matrix,
+    layout="imgn",
+    model_ref="lm",
+)
+
 REFS: dict[str, DatasetRef] = {
-    r.name: r for r in (LM, LMO, YCBV, MP6D, TLESS, ITODD, HB, TUDL, ICBIN)
+    r.name: r for r in (LM, LMO, YCBV, MP6D, TLESS, ITODD, HB, TUDL, ICBIN,
+                        LM_IMGN)
 }
 
 

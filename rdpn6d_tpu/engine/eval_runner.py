@@ -42,6 +42,45 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     split = get_split(split_name)
     ref = get_ref(split.ref_name)
     records = build_split_records(split, flatten=True)
+
+    # BOP19 target filtering: score exactly the published target list
+    # (reference ycbv_bop_test.py keyframes; eval_loc.py:38-180)
+    targets = None
+    if split.targets_file:
+        tpath = os.path.join(ref.root, split.targets_file)
+        if os.path.exists(tpath):
+            from ..data.bop import load_bop19_targets
+            targets = load_bop19_targets(ref, split.targets_file)
+            tset = {(t["scene_id"], t["im_id"], t["obj_id"])
+                    for t in targets}
+            n_before = len(records)
+            records = [r for r in records
+                       if (r["scene_id"], r["im_id"], r["obj_id"]) in tset]
+            logger.info(f"BOP19 targets: {n_before} -> {len(records)} "
+                        f"instances ({len(tset)} targets)")
+        else:
+            logger.warning(f"split declares targets_file but {tpath} "
+                           "is absent; scoring ALL images")
+
+    # GT counts BEFORE detections attach: recall denominators include
+    # instances the detector misses (gdrn_custom_evaluator.py:580-583)
+    id2name = {oid: ref.id2obj[oid] for oid in ref.obj_ids}
+    n_gts: dict[str, int] = {}
+    for rec in records:
+        name = id2name[rec["obj_id"]]
+        n_gts[name] = n_gts.get(name, 0) + 1
+
+    # estimated-bbox protocol: --dets flag wins, else config
+    # (data.det_files_test aligned with data.test_datasets,
+    # reference DATASETS.DET_FILES_TEST + TEST.TEST_BBOX_TYPE)
+    if not dets_path and cfg.test.test_bbox_type == "est" \
+            and cfg.data.det_files_test:
+        try:
+            di = list(cfg.data.test_datasets).index(split_name)
+        except ValueError:
+            di = 0
+        dets_path = cfg.data.det_files_test[min(
+            di, len(cfg.data.det_files_test) - 1)]
     if dets_path:
         records = attach_detections(records, load_detections(dets_path),
                                     topk_per_obj=cfg.data.det_topk_per_obj)
@@ -63,14 +102,22 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
         state, _ = CheckpointManager(ckpt_dir).restore(state)
     eval_step = make_eval_step(cfg, model)
 
-    id2name = {oid: ref.id2obj[oid] for oid in ref.obj_ids}
+    # score on the decimated eval meshes (reference model_eval_dir,
+    # gdrn_custom_evaluator.py; falls back to train meshes when
+    # models_eval/ is absent)
+    eval_assets = load_class_assets(
+        ref, cfg.head.num_regions, cfg.loss.num_pm_points,
+        objs=[ref.id2obj[oid] for oid in present], use_eval_models=True)
     evaluator = PoseEvaluator(
-        models={ref.id2obj[oid]: assets.for_obj(oid)["points"]
-                for oid in assets.obj_ids},
-        diameters={ref.id2obj[oid]: float(assets.for_obj(oid)["diameter"])
-                   or ref.diameter_m(oid) for oid in assets.obj_ids},
-        sym_rots={ref.id2obj[oid]: assets.for_obj(oid)["sym_rots"]
-                  for oid in assets.obj_ids},
+        models={ref.id2obj[oid]: eval_assets.for_obj(oid)["points"]
+                for oid in eval_assets.obj_ids},
+        diameters={ref.id2obj[oid]:
+                   float(eval_assets.for_obj(oid)["diameter"])
+                   or ref.diameter_m(oid) for oid in eval_assets.obj_ids},
+        sym_rots={ref.id2obj[oid]: eval_assets.for_obj(oid)["sym_rots"]
+                  for oid in eval_assets.obj_ids},
+        n_gts=n_gts,
+        precision=cfg.test.eval_precision,
     )
 
     key = jax.random.PRNGKey(0)
@@ -113,9 +160,86 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     stats = inference_on_dataset(eval_step_fused, state, batches(),
                                  evaluator)
 
+    # multi-host: pool predictions before rank-0 scoring
+    # (reference comm.all_gather, gdrn_evaluator.py:437-447)
+    if jax.process_count() > 1:
+        from ..parallel import gather_predictions
+        merged = gather_predictions(evaluator.chunks)
+        evaluator.reset()
+        evaluator.merge_chunks(merged)
+        if jax.process_index() != 0:
+            return {"stats": stats}
+
     csv = csv_path or os.path.join(cfg.train.output_dir,
                                    f"{split_name}_bop19.csv")
     result = evaluate_and_report(evaluator, cfg, obj2id=ref.obj2id,
                                  csv_path=csv)
+
+    # BOP19 localization AR when the config asks for toolkit error types
+    # (reference VAL.ERROR_TYPES -> eval_pose_results_more.py pipeline)
+    err_types = {t.strip() for t in cfg.test.error_types.split(",")}
+    if targets is not None and err_types & {"vsd", "mssd", "mspd"}:
+        result["bop19"] = _bop19_scores(
+            cfg, ref, records, targets, evaluator, eval_assets,
+            with_vsd="vsd" in err_types)
+        logger.info(f"BOP19 AR: {result['bop19']}")
+
     result["stats"] = stats
     return result
+
+
+def _bop19_scores(cfg: Config, ref: Any, records: list[dict],
+                  targets: list[dict], evaluator: Any, eval_assets: Any,
+                  with_vsd: bool) -> dict[str, float]:
+    """MSSD/MSPD (+VSD) average recalls over the BOP19 target list."""
+    from functools import lru_cache
+
+    from ..data.loader import _imread_depth
+    from ..evaluation.bop_score import (
+        bop19_average_recalls,
+        make_vsd_error_fn,
+    )
+
+    gts: dict[tuple[int, int], list[dict]] = {}
+    depth_info: dict[tuple[int, int], tuple[str, float]] = {}
+    for r in records:
+        key = (r["scene_id"], r["im_id"])
+        gts.setdefault(key, []).append(
+            {"obj_id": r["obj_id"], "R": r["R"], "t": r["t"], "K": r["K"]})
+        depth_info[key] = (r["depth_path"], r["depth_factor"])
+
+    models = {oid: eval_assets.for_obj(oid)["points"]
+              for oid in eval_assets.obj_ids}
+    sym_rots = {oid: eval_assets.for_obj(oid)["sym_rots"]
+                for oid in eval_assets.obj_ids}
+    diameters = {oid: float(eval_assets.for_obj(oid)["diameter"])
+                 or ref.diameter_m(oid) for oid in eval_assets.obj_ids}
+    estimates = evaluator.bop_rows(ref.obj2id)
+
+    vsd_fn = None
+    if with_vsd:
+        from ..data.inout import load_ply
+
+        meshes = {}
+        for oid in eval_assets.obj_ids:
+            ply = load_ply(os.path.join(ref.eval_model_dir,
+                                        f"obj_{oid:06d}.ply"),
+                           vertex_scale=ref.vertex_scale)
+            if ply.get("faces") is None or not len(ply["faces"]):
+                logger.warning(f"obj {oid}: eval mesh has no faces; "
+                               "skipping VSD")
+                meshes = None
+                break
+            meshes[oid] = (ply["pts"].astype(np.float32),
+                           np.asarray(ply["faces"], np.int32))
+        if meshes is not None:
+            @lru_cache(maxsize=8)
+            def _depth(scene_id: int, im_id: int) -> np.ndarray:
+                path, factor = depth_info[(scene_id, im_id)]
+                return _imread_depth(path, factor)
+
+            vsd_fn = make_vsd_error_fn(meshes, _depth, diameters)
+
+    return bop19_average_recalls(
+        estimates, gts, targets, models, sym_rots, diameters,
+        im_width=ref.width, with_vsd=vsd_fn)

@@ -30,7 +30,9 @@ def inference_on_dataset(
     num_warmup: int = 2,
 ) -> dict[str, float]:
     """batches yields (device_batch, metadata_rows); metadata_rows[i] must
-    carry obj_name/scene_id/im_id/R_gt/t_gt/K for evaluator.process."""
+    carry obj_name/scene_id/im_id/R_gt/t_gt/K for evaluator.process.
+    Evaluator feeding is one batched append per step (the reference's
+    per-ROI host loop, gdrn_evaluator.py:128-185, caps throughput)."""
     total_compute = 0.0
     total_process = 0.0
     n_rois = 0
@@ -40,12 +42,16 @@ def inference_on_dataset(
         rot = np.asarray(out["rot_ego"])  # blocks
         trans = np.asarray(out["trans"])
         t1 = time.perf_counter()
-        for j, row in enumerate(meta):
-            evaluator.process(
-                row["obj_name"], rot[j], trans[j], row["R_gt"], row["t_gt"],
-                row["K"], scene_id=row.get("scene_id", 0),
-                im_id=row.get("im_id", 0),
-                time=(t1 - t0) / max(len(meta), 1))
+        n = len(meta)
+        per = (t1 - t0) / max(n, 1)
+        evaluator.process_batch(
+            [row["obj_name"] for row in meta], rot[:n], trans[:n],
+            np.stack([row["R_gt"] for row in meta]),
+            np.stack([row["t_gt"] for row in meta]),
+            np.stack([row["K"] for row in meta]),
+            scene_ids=np.array([row.get("scene_id", 0) for row in meta]),
+            im_ids=np.array([row.get("im_id", 0) for row in meta]),
+            times=np.full(n, per, np.float32))
         t2 = time.perf_counter()
         if i >= num_warmup:
             total_compute += t1 - t0

@@ -6,11 +6,13 @@ Counterpart of the reference's ``GDRN_EvaluatorCustom``
 (test_utils.py:33-75). Errors are computed BATCHED ON DEVICE (one jitted
 program per object over all its test instances) instead of the reference's
 per-instance host loop; the recall/AUC summarization is host numpy.
+Predictions are accumulated as whole-batch array chunks so the host-side
+cost per ROI is O(1) appends (the reference's per-ROI dict loop,
+gdrn_evaluator.py:128-185, becomes the bottleneck past ~2k poses/s).
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -26,43 +28,91 @@ from .score import auc_posecnn, auc_voc, pose_recalls, summarize_objects
 class PoseEvaluator:
     """Accumulates (R, t) estimates against GT and scores per object.
 
-    models: {obj_name: [N,3] eval model points (m)}
+    models: {obj_name: [N,3] eval model points (m)} — use the decimated
+    ``models_eval`` meshes like the reference (gdrn_custom_evaluator.py
+    model_eval_dir).
     diameters: {obj_name: diameter (m)}
     sym_rots: {obj_name: [K,3,3] or None} identity-padded symmetry banks
+    n_gts: {obj_name: #GT instances in the split}; when provided, recall
+    denominators are GT counts and missing predictions count as failures
+    (gdrn_custom_evaluator.py:580-583). Without it (or with
+    ``precision=True``) metrics are over predictions only — the reference's
+    ``_eval_predictions_precision`` variant (:731+).
     """
 
     models: dict[str, np.ndarray]
     diameters: dict[str, float]
     sym_rots: dict[str, np.ndarray | None] = field(default_factory=dict)
-    _preds: dict[str, list[dict]] = field(default_factory=lambda:
-                                          defaultdict(list))
+    n_gts: dict[str, int] | None = None
+    precision: bool = False
+    _chunks: list[dict[str, np.ndarray]] = field(default_factory=list)
 
     def reset(self) -> None:
-        self._preds = defaultdict(list)
+        self._chunks = []
 
     def process(self, obj_name: str, R_est, t_est, R_gt, t_gt, K,
                 scene_id: int = 0, im_id: int = 0, score: float = 1.0,
                 time: float = -1.0) -> None:
-        self._preds[obj_name].append({
+        """Single-instance convenience wrapper over ``process_batch``."""
+        self.process_batch(
+            [obj_name], np.asarray(R_est)[None], np.asarray(t_est)[None],
+            np.asarray(R_gt)[None], np.asarray(t_gt)[None],
+            np.asarray(K)[None], scene_ids=np.array([scene_id]),
+            im_ids=np.array([im_id]), scores=np.array([score]),
+            times=np.array([time]))
+
+    def process_batch(self, obj_names: list[str], R_est, t_est, R_gt, t_gt,
+                      K, scene_ids=None, im_ids=None, scores=None,
+                      times=None) -> None:
+        """Append one whole batch of predictions (arrays, leading dim B)."""
+        B = len(obj_names)
+        self._chunks.append({
+            "obj": np.asarray(obj_names, dtype=object),
             "R": np.asarray(R_est, np.float32),
             "t": np.asarray(t_est, np.float32),
             "R_gt": np.asarray(R_gt, np.float32),
             "t_gt": np.asarray(t_gt, np.float32),
             "K": np.asarray(K, np.float32),
-            "scene_id": scene_id, "im_id": im_id, "score": score,
-            "time": time,
+            "scene_id": np.zeros(B, np.int64) if scene_ids is None
+            else np.asarray(scene_ids, np.int64),
+            "im_id": np.zeros(B, np.int64) if im_ids is None
+            else np.asarray(im_ids, np.int64),
+            "score": np.ones(B, np.float32) if scores is None
+            else np.asarray(scores, np.float32),
+            "time": np.full(B, -1.0, np.float32) if times is None
+            else np.asarray(times, np.float32),
         })
+
+    def merge_chunks(self, chunks: list[dict[str, np.ndarray]]) -> None:
+        """Fold in prediction chunks from other hosts
+        (parallel.gather_predictions; reference gdrn_evaluator.py:437-447)."""
+        self._chunks.extend(chunks)
+
+    @property
+    def chunks(self) -> list[dict[str, np.ndarray]]:
+        return self._chunks
+
+    def _consolidated(self) -> dict[str, np.ndarray] | None:
+        if not self._chunks:
+            return None
+        return {k: np.concatenate([c[k] for c in self._chunks])
+                for k in self._chunks[0]}
 
     # ------------------------------------------------------------------
     def compute_errors(self) -> dict[str, dict[str, np.ndarray]]:
         """Batched on-device error computation per object."""
+        allp = self._consolidated()
+        if allp is None:
+            return {}
         out = {}
-        for obj, preds in self._preds.items():
-            R_est = jnp.asarray(np.stack([p["R"] for p in preds]))
-            t_est = jnp.asarray(np.stack([p["t"] for p in preds]))
-            R_gt = jnp.asarray(np.stack([p["R_gt"] for p in preds]))
-            t_gt = jnp.asarray(np.stack([p["t_gt"] for p in preds]))
-            K = jnp.asarray(np.stack([p["K"] for p in preds]))
+        for obj in sorted(set(allp["obj"].tolist()),
+                          key=list(self.models).index):
+            m = allp["obj"] == obj
+            R_est = jnp.asarray(allp["R"][m])
+            t_est = jnp.asarray(allp["t"][m])
+            R_gt = jnp.asarray(allp["R_gt"][m])
+            t_gt = jnp.asarray(allp["t_gt"][m])
+            K = jnp.asarray(allp["K"][m])
             pts = jnp.asarray(self.models[obj])[None]
 
             sym = self.sym_rots.get(obj)
@@ -75,7 +125,7 @@ class PoseEvaluator:
                 R_gt_closest = R_gt
                 ad_err = add(R_est, t_est, R_gt, t_gt, pts)
 
-            out[obj] = {
+            err = {
                 "ad": np.asarray(ad_err),
                 "add": np.asarray(add(R_est, t_est, R_gt, t_gt, pts)),
                 "adi": np.asarray(adi(R_est, t_est, R_gt, t_gt, pts)),
@@ -84,6 +134,16 @@ class PoseEvaluator:
                 "proj": np.asarray(proj_2d(R_est, t_est, R_gt_closest, t_gt,
                                            pts, K)),
             }
+            # missing predictions count as failures: pad with +inf so every
+            # recall threshold and AUC penalizes them
+            # (gdrn_custom_evaluator.py:580-583)
+            if self.n_gts is not None and not self.precision:
+                n_missing = self.n_gts.get(obj, 0) - int(m.sum())
+                if n_missing > 0:
+                    err = {k: np.concatenate(
+                        [v, np.full(n_missing, np.inf, v.dtype)])
+                        for k, v in err.items()}
+            out[obj] = err
         return out
 
     def evaluate(self) -> dict[str, Any]:
@@ -106,15 +166,17 @@ class PoseEvaluator:
     # ------------------------------------------------------------------
     def bop_rows(self, obj2id: dict[str, int]) -> list[dict]:
         """Rows for inout.save_bop_results_csv (test_utils.py:33-52)."""
-        rows = []
-        for obj, preds in self._preds.items():
-            for p in preds:
-                rows.append({
-                    "scene_id": p["scene_id"], "im_id": p["im_id"],
-                    "obj_id": obj2id[obj], "score": p["score"],
-                    "R": p["R"], "t": p["t"], "time": p["time"],
-                })
-        return rows
+        allp = self._consolidated()
+        if allp is None:
+            return []
+        return [{
+            "scene_id": int(allp["scene_id"][i]),
+            "im_id": int(allp["im_id"][i]),
+            "obj_id": obj2id[allp["obj"][i]],
+            "score": float(allp["score"][i]),
+            "R": allp["R"][i], "t": allp["t"][i],
+            "time": float(allp["time"][i]),
+        } for i in range(len(allp["obj"]))]
 
 
 def format_table(result: dict[str, Any], metrics=("ad_2", "ad_5", "ad_10",

@@ -29,11 +29,14 @@ def parse_args(argv=None):
 
 def setup_logging(output_dir: str) -> None:
     os.makedirs(output_dir, exist_ok=True)
+    # force=True: jax/absl may have installed root handlers already, which
+    # would silently turn basicConfig into a no-op
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
         handlers=[logging.StreamHandler(),
                   logging.FileHandler(os.path.join(output_dir, "log.txt"))],
+        force=True,
     )
 
 
@@ -53,6 +56,12 @@ def main(argv=None):
     logger.info(f"devices: {jax.devices()}")
 
     n_dev = args.num_devices or len(jax.devices())
+    if cfg.solver.ims_per_batch % n_dev != 0:
+        import math
+        n_dev = math.gcd(n_dev, cfg.solver.ims_per_batch)
+        logger.warning(
+            f"ims_per_batch={cfg.solver.ims_per_batch} not divisible by "
+            f"device count; using a {n_dev}-device mesh")
     mesh = create_mesh(n_dev)
 
     model = RDPN(cfg, dtype=jnp.bfloat16 if cfg.solver.amp else jnp.float32)
@@ -72,10 +81,10 @@ def main(argv=None):
         return
 
     # epochs -> iterations (engine.py:179-186 epoch semantics)
-    split = cfg.data.train_datasets[0]
-    from .data.bop import build_split_records, get_split
-    n_records = len(build_split_records(
-        get_split(split), cache_dir=f"{cfg.train.output_dir}/cache"))
+    split = list(cfg.data.train_datasets)
+    from .data.loader import load_train_records
+    n_records = len(load_train_records(
+        cfg, split, cache_dir=f"{cfg.train.output_dir}/cache"))
     iters_per_epoch = max(n_records // cfg.solver.ims_per_batch, 1)
     total_iters = iters_per_epoch * cfg.solver.total_epochs
     logger.info(f"{n_records} records, {iters_per_epoch} iters/epoch, "
@@ -100,7 +109,7 @@ def main(argv=None):
     # TRAIN2 stochastic mixing (engine.py:253-256)
     loader2 = None
     if cfg.data.train2_datasets and cfg.data.train2_ratio > 0:
-        loader2 = device_batches(cfg.data.train2_datasets[0], seed=1)
+        loader2 = device_batches(list(cfg.data.train2_datasets), seed=1)
 
     # periodic eval during training (engine.py:316-322)
     eval_fn = None

@@ -109,3 +109,93 @@ def test_run_eval_full_path(full_dataset, monkeypatch, tmp_path):
     # CSV written with 3 rows
     csv = (tmp_path / "out.csv").read_text().strip().splitlines()
     assert len(csv) == 4  # header + 3 estimates
+
+
+def test_run_eval_bop19_targets(full_dataset, monkeypatch, tmp_path):
+    """Target filtering restricts scoring to the target list, and
+    mssd/mspd error types produce the BOP19 AR block."""
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", full_dataset)
+    targets = [{"scene_id": 1, "im_id": 0, "obj_id": 1, "inst_count": 1},
+               {"scene_id": 1, "im_id": 2, "obj_id": 1, "inst_count": 1}]
+    tpath = os.path.join(full_dataset, "lm", "targets_tiny.json")
+    with open(tpath, "w") as f:
+        json.dump(targets, f)
+    register_split(Split("tiny_eval_tgt", "lm", "test", scene_ids=(1,),
+                         filter_invalid=False,
+                         targets_file="targets_tiny.json"))
+
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+        'test.error_types="ad,mssd,mspd,vsd"',
+        f'train.output_dir="{tmp_path}"',
+    ])
+
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.engine.eval_runner import run_eval
+    from rdpn6d_tpu.models import RDPN
+
+    model = RDPN(cfg, dtype=jnp.float32)
+    result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      split_name="tiny_eval_tgt", batch_size=2,
+                      model=model, csv_path=str(tmp_path / "tgt.csv"))
+    # only 2 of the 3 scene images are targets
+    csv = (tmp_path / "tgt.csv").read_text().strip().splitlines()
+    assert len(csv) == 3  # header + 2 estimates
+    assert {int(r.split(",")[1]) for r in csv[1:]} == {0, 2}
+    assert "bop19" in result
+    b = result["bop19"]
+    assert set(b) >= {"AR_mssd", "AR_mspd", "AR"}
+    for v in b.values():
+        assert 0.0 <= v <= 1.0
+    # cube ply has faces -> the vsd path (rasterizer-backed) must engage
+    assert "AR_vsd" in b
+
+
+def test_run_eval_est_dets_from_config(full_dataset, monkeypatch, tmp_path):
+    """test.test_bbox_type=est + data.det_files_test drive est-bbox eval
+    from the config alone (reference DATASETS.DET_FILES_TEST)."""
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", full_dataset)
+    from rdpn6d_tpu.data.detections import load_detections
+
+    # detections only for im 0 and 1 -> im 2's GT still counts in recalls
+    dets = [
+        {"scene_id": 1, "im_id": 0, "obj_id": 1, "score": 0.9,
+         "bbox_est": [200, 150, 200, 180]},
+        {"scene_id": 1, "im_id": 1, "obj_id": 1, "score": 0.8,
+         "bbox_est": [210, 140, 190, 190]},
+    ]
+    dpath = tmp_path / "dets.json"
+    dpath.write_text(json.dumps(dets))
+    assert len(load_detections(str(dpath))) == 2
+
+    register_split(Split("tiny_eval_det", "lm", "test", scene_ids=(1,),
+                         filter_invalid=False))
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+        'test.test_bbox_type="est"',
+        f'data.det_files_test=["{dpath}"]',
+        'data.test_datasets=["tiny_eval_det"]',
+        f'train.output_dir="{tmp_path}"',
+    ])
+
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.engine.eval_runner import run_eval
+    from rdpn6d_tpu.models import RDPN
+
+    model = RDPN(cfg, dtype=jnp.float32)
+    result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      split_name="tiny_eval_det", batch_size=2,
+                      model=model, csv_path=str(tmp_path / "det.csv"))
+    csv = (tmp_path / "det.csv").read_text().strip().splitlines()
+    assert len(csv) == 3  # only the 2 detected instances predicted
+    # random model + missing det: every metric must use denominator 3 (GTs)
+    # -> values are multiples of 100/3
+    rec = result["per_obj"]["ape"]
+    assert any(abs(rec["ad_10"] - v) < 1e-6
+               for v in (0.0, 100 / 3, 200 / 3, 100.0))
