@@ -131,6 +131,7 @@ class DataConfig:
     bg_images_dir: str = ""         # VOC/SUN-style background pool
     truncate_fg: bool = False
     filter_visib_thr: float = 0.0
+    repeat_factor_thresh: float = 0.0   # >0: RepeatFactorSampler
     train_datasets: tuple[str, ...] = ()
     train2_datasets: tuple[str, ...] = ()
     train2_ratio: float = 0.0

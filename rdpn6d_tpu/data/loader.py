@@ -19,7 +19,7 @@ from ..config import Config
 from .bop import build_split_records, get_split
 from .refs import get_ref
 from .assets import ClassAssets
-from .sampler import InfiniteSampler
+from .sampler import InfiniteSampler, RepeatFactorSampler
 
 
 def _imread_rgb(path: str) -> np.ndarray:
@@ -228,7 +228,21 @@ def train_frame_iterator(cfg: Config, split_name: str | list[str],
             objs=list(split.objs) if split.objs else None)
         decoder = RecordDecoder(cfg, assets)
     bs = batch_size or cfg.solver.ims_per_batch
-    sampler = InfiniteSampler(len(records), seed=seed)
+    # per-host data sharding (the reference's rank-sliced samplers,
+    # my_distributed_sampler.py:43-54; here hosts shard, devices split the
+    # stacked batch via the mesh)
+    import jax
+
+    shard_id, num_shards = jax.process_index(), jax.process_count()
+    if cfg.data.repeat_factor_thresh > 0:
+        # oversample rare categories (dataset_utils.py:231-240 semantics)
+        sampler: InfiniteSampler = RepeatFactorSampler(
+            [r["cls_idx"] for r in records],
+            cfg.data.repeat_factor_thresh, seed=seed,
+            shard_id=shard_id, num_shards=num_shards)
+    else:
+        sampler = InfiniteSampler(len(records), seed=seed,
+                                  shard_id=shard_id, num_shards=num_shards)
 
     q: queue.Queue = queue.Queue(maxsize=num_prefetch)
 

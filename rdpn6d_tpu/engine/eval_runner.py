@@ -188,6 +188,95 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     return result
 
 
+def coord_regression_eval(cfg: Config, ckpt_dir: str, split_name: str,
+                          batch_size: int = 16, state: Any = None,
+                          model: Any = None,
+                          max_batches: int = 0) -> dict[str, float]:
+    """Debug eval: masked L1 of predicted vs GT normalized coordinates.
+
+    Counterpart of the reference's ``test_coordinate_regression``
+    (gdrn_evaluator.py:515-571, triggered via do_test(debug=True)) — its
+    main diagnostic for coordinate-head regressions. Augmentations are
+    disabled; the GT residual-coordinate labels come from the same
+    preprocessing graph training uses.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.assets import load_class_assets
+    from ..data.bop import build_split_records, get_split
+    from ..data.loader import RecordDecoder
+    from ..data.pipeline import preprocess_batch
+    from ..data.refs import get_ref
+    from ..models import RDPN, dummy_batch
+    from ..parallel import create_train_state
+    from ..solver import build_optimizer
+    from .checkpoint import CheckpointManager
+
+    dbg_cfg = cfg.apply_opts([
+        'data.dzi_type="none"', "data.color_aug_prob=0.0",
+        "data.change_bg_prob=0.0"])
+    split = get_split(split_name)
+    ref = get_ref(split.ref_name)
+    records = build_split_records(split, flatten=True)
+    present = sorted({rec["obj_id"] for rec in records})
+    assets = load_class_assets(ref, cfg.head.num_regions,
+                               cfg.loss.num_pm_points,
+                               objs=[ref.id2obj[oid] for oid in present])
+    decoder = RecordDecoder(dbg_cfg, assets, train=False)
+
+    if model is None:
+        model = RDPN(cfg, dtype=jnp.bfloat16)
+    if state is None:
+        variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
+                               train=False)
+        tx = build_optimizer(cfg, total_iters=1)
+        state = create_train_state(cfg, variables, tx)
+        state, _ = CheckpointManager(ckpt_dir).restore(state)
+
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def step(state, frames):
+        batch = preprocess_batch(dbg_cfg, frames, key, train=True)
+        batch["roi_cls"] = frames["roi_cls"]
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False)
+        m = batch["roi_mask_visib"][..., None]
+        err = jnp.abs(out["coord"] - batch["roi_xyz"]) * m
+        return (err.sum(axis=(1, 2, 3)),
+                m.sum(axis=(1, 2, 3)) * 3.0)
+
+    tot_err, tot_cnt, n = 0.0, 0.0, 0
+    for i in range(0, len(records), batch_size):
+        if max_batches and i // batch_size >= max_batches:
+            break
+        chunk = records[i:i + batch_size]
+        samples = []
+        for rec in chunk:
+            try:
+                samples.append(decoder(rec))
+            except (FileNotFoundError, OSError):
+                continue
+        if not samples:
+            continue
+        while len(samples) < batch_size:
+            samples.append(samples[-1])
+        pad = batch_size - len(chunk)
+        stacked = {k: jnp.asarray(np.stack([s[k] for s in samples]))
+                   for k in samples[0]}
+        err, cnt = step(state, stacked)
+        sl = slice(0, batch_size - pad)
+        tot_err += float(np.asarray(err)[sl].sum())
+        tot_cnt += float(np.asarray(cnt)[sl].sum())
+        n += len(chunk)
+    l1 = tot_err / max(tot_cnt, 1.0)
+    logger.info(f"coord regression debug [{split_name}]: masked L1 = "
+                f"{l1:.5f} over {n} instances")
+    return {"coord_l1": l1, "n": n}
+
+
 def _bop19_scores(cfg: Config, ref: Any, records: list[dict],
                   targets: list[dict], evaluator: Any, eval_assets: Any,
                   with_vsd: bool) -> dict[str, float]:

@@ -39,8 +39,9 @@ class Trainer:
         self.model = model
         self.total_iters = total_iters
         self.mesh = mesh if mesh is not None else create_mesh()
-        self.tx = build_optimizer(cfg, total_iters)
+        # ONE schedule object drives both the optimizer and the logged lr
         self.schedule = build_schedule(cfg, total_iters)
+        self.tx = build_optimizer(cfg, total_iters, schedule=self.schedule)
         self.state = replicate(
             create_train_state(cfg, variables, self.tx), self.mesh)
         self.step_fn = make_sharded_train_step(cfg, model, self.tx,

@@ -204,8 +204,6 @@ def euler_to_mat(rx: jax.Array, ry: jax.Array, rz: jax.Array) -> jax.Array:
                    axis=-1).reshape(rx.shape + (3, 3))
     Ry = jnp.stack([cy, zero, sy, zero, one, zero, -sy, zero, cy],
                    axis=-1).reshape(rx.shape + (3, 3))
-    Rz = jnp.stack([cz, -sz, zero, zero, sz, cz, zero, zero, zero + one],
-                   axis=-1)
     Rz = jnp.stack([cz, -sz, zero, sz, cz, zero, zero, zero, one],
                    axis=-1).reshape(rx.shape + (3, 3))
     return Rz @ Ry @ Rx

@@ -20,6 +20,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="rdpn6d_tpu")
     p.add_argument("--config-file", required=True)
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="with --eval-only: coordinate-regression debug eval"
+                        " (masked coord L1; gdrn_evaluator.py:515-571)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-devices", type=int, default=0,
                    help="0 = all visible devices")
@@ -73,11 +76,16 @@ def main(argv=None):
                                              cfg.backbone.pretrained)
 
     if args.eval_only:
-        from .engine.eval_runner import run_eval
+        from .engine.eval_runner import coord_regression_eval, run_eval
 
         for split in cfg.data.test_datasets:
-            run_eval(cfg, ckpt_dir=f"{cfg.train.output_dir}/ckpt",
-                     split_name=split)
+            if args.debug:
+                coord_regression_eval(
+                    cfg, ckpt_dir=f"{cfg.train.output_dir}/ckpt",
+                    split_name=split)
+            else:
+                run_eval(cfg, ckpt_dir=f"{cfg.train.output_dir}/ckpt",
+                         split_name=split)
         return
 
     # epochs -> iterations (engine.py:179-186 epoch semantics)

@@ -12,8 +12,26 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def dropblock(x: jax.Array, key: jax.Array, drop_prob,
+              block_size: int = 5) -> jax.Array:
+    """DropBlock regularization: zero contiguous block_size^2 spatial
+    patches and rescale by the keep rate (the reference vendors
+    DropBlock2D, core/utils/dropblock/dropblock.py; applied once on the
+    PnP input map, conv_pnp_net.py:144-146)."""
+    B, H, W, _ = x.shape
+    gamma = (drop_prob / block_size ** 2 * (H * W)
+             / ((H - block_size + 1) * (W - block_size + 1)))
+    seeds = jax.random.bernoulli(key, gamma, (B, H, W, 1)).astype(x.dtype)
+    block = nn.max_pool(seeds, (block_size, block_size), strides=(1, 1),
+                        padding="SAME")
+    mask = 1.0 - block
+    keep = jnp.mean(mask, axis=(1, 2, 3), keepdims=True)
+    return x * mask / jnp.maximum(keep, 1e-6)
 
 
 class ConvPnPNet(nn.Module):
@@ -25,11 +43,14 @@ class ConvPnPNet(nn.Module):
     fc1_dim: int = 1024
     fc2_dim: int = 256
     denorm_coords_by_extent: bool = True
+    drop_prob: float = 0.0          # DropBlock on the input feature map
+    drop_block_size: int = 5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, coord_feat, region=None, extents=None,
-                 mask_attention=None, train: bool = False):
+                 mask_attention=None, train: bool = False,
+                 drop_scale=1.0):
         """coord_feat [B, 64, 64, C]; region [B, 64, 64, K] softmax;
         extents [B, 3]; mask_attention [B, 64, 64, 1].
 
@@ -47,6 +68,14 @@ class ConvPnPNet(nn.Module):
             x = jnp.concatenate([x, region], axis=-1)
         if mask_attention is not None:
             x = x * mask_attention  # "mul" attention (conv_pnp_net.py:134-137)
+
+        if train and self.drop_prob > 0:
+            # linear 0->drop_prob ramp comes in as drop_scale (the
+            # reference's LinearScheduler over 5000 steps,
+            # conv_pnp_net.py:67-72)
+            x = dropblock(x, self.make_rng("dropout"),
+                          self.drop_prob * drop_scale,
+                          self.drop_block_size)
 
         x = x.astype(self.dtype)
         for i in range(self.num_layers):

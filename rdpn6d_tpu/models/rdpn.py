@@ -35,7 +35,8 @@ class RDPN(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, batch: dict[str, jax.Array], train: bool = False):
+    def __call__(self, batch: dict[str, jax.Array], train: bool = False,
+                 drop_scale=1.0):
         cfg = self.cfg
         head_cfg, pnp_cfg = cfg.head, cfg.pnp
         out_res = head_cfg.out_res
@@ -140,7 +141,8 @@ class RDPN(nn.Module):
             pnp_net = ConvPnPNet(
                 rot_dim=pnp_cfg.rot_dim, featdim=pnp_cfg.featdim,
                 num_layers=pnp_cfg.num_layers, gn_groups=pnp_cfg.gn_groups,
-                norm=pnp_cfg.norm, dtype=self.dtype, name="pnp_net")
+                norm=pnp_cfg.norm, drop_prob=pnp_cfg.drop_prob,
+                dtype=self.dtype, name="pnp_net")
         elif pnp_cfg.pnp_head == "SimplePointPnP":
             from .point_pnp import SimplePointPnP
             pnp_net = SimplePointPnP(rot_dim=pnp_cfg.rot_dim,
@@ -152,9 +154,11 @@ class RDPN(nn.Module):
                                dtype=self.dtype, name="pnp_net")
         else:
             raise ValueError(pnp_cfg.pnp_head)
+        pnp_kwargs = {"drop_scale": drop_scale} \
+            if pnp_cfg.pnp_head == "ConvPnPNet" else {}
         rot_param, t_param = pnp_net(
             coord_feat, region=region_atten, extents=batch["roi_extent"],
-            mask_attention=mask_atten, train=train)
+            mask_attention=mask_atten, train=train, **pnp_kwargs)
 
         if pnp_cfg.r_only:
             # direct-translation head override (GDRN.py:238-239; disabled in

@@ -42,6 +42,18 @@ def create_train_state(cfg: Config, variables: dict[str, Any],
     )
 
 
+def _dropblock_kwargs(cfg: Config, step: jax.Array) -> dict[str, Any]:
+    """rngs + linear 0->1 ramp over 5000 steps for DropBlock (the
+    reference's LinearScheduler, conv_pnp_net.py:67-72)."""
+    if cfg.pnp.drop_prob <= 0:
+        return {}
+    return {
+        "rngs": {"dropout": jax.random.fold_in(
+            jax.random.PRNGKey(cfg.train.seed + 7), step)},
+        "drop_scale": jnp.minimum(step.astype(jnp.float32) / 5000.0, 1.0),
+    }
+
+
 def make_train_step(cfg: Config, model: RDPN,
                     tx: optax.GradientTransformation) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics)."""
@@ -50,7 +62,8 @@ def make_train_step(cfg: Config, model: RDPN,
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"])
+                batch, train=True, mutable=["batch_stats"],
+                **_dropblock_kwargs(cfg, state.step))
             losses = compute_losses(cfg, out, batch)
             total = sum(losses.values())
             return total, (losses, mutated["batch_stats"])
@@ -126,7 +139,8 @@ def make_sharded_train_step(cfg: Config, model: RDPN,
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"])
+                batch, train=True, mutable=["batch_stats"],
+                **_dropblock_kwargs(cfg, state.step))
             losses = compute_losses(cfg, out, batch)
             return sum(losses.values()), (losses, mutated["batch_stats"])
 

@@ -28,10 +28,14 @@ def build_schedule(cfg: Config, total_iters: int):
     raise ValueError(s.lr_scheduler)
 
 
-def build_optimizer(cfg: Config, total_iters: int
+def build_optimizer(cfg: Config, total_iters: int, schedule=None
                     ) -> optax.GradientTransformation:
+    """``schedule`` lets the caller share ONE schedule object between the
+    optimizer and its logging (so logged lr can never drift from the lr
+    actually applied)."""
     s = cfg.solver
-    schedule = build_schedule(cfg, total_iters)
+    if schedule is None:
+        schedule = build_schedule(cfg, total_iters)
     if s.optimizer == "ranger":
         opt = ranger(schedule, weight_decay=s.weight_decay)
     elif s.optimizer == "adamw":
