@@ -60,8 +60,9 @@ class DenseHead(nn.Module):
             x = jnp.concatenate([x, skip64.astype(x.dtype)], axis=-1)
         for i in range(self.num_layers):
             if i >= 3:  # extra layers upsample further (reference :104)
-                B, H, W, C = x.shape
-                x = jax.image.resize(x, (B, H * 2, W * 2, C), "bilinear")
+                from ..ops.resize import upsample_bilinear_align_corners
+                x = upsample_bilinear_align_corners(
+                    x, x.shape[1] * 2, x.shape[2] * 2)
             for _ in range(2):
                 x = nn.Conv(self.num_filters, (3, 3), padding=1,
                             use_bias=False, dtype=self.dtype)(x)

@@ -22,6 +22,10 @@ from ..config import Config
 from ..geometry import ortho6d_to_mat, quat_to_mat, recover_pose_centroid_z
 from ..ops.binning import expected_coord_from_bins
 from ..ops.region import gather_region_fps
+from ..ops.resize import (
+    downsample_nearest_torch,
+    upsample_bilinear_align_corners,
+)
 from .conv_pnp import ConvPnPNet
 from .heads import DenseHead
 from .pointnet import SpatialPointNet
@@ -59,9 +63,11 @@ class RDPN(nn.Module):
             skip64 = None if skip64 is None else jax.lax.stop_gradient(skip64)
             skip32 = None if skip32 is None else jax.lax.stop_gradient(skip32)
         B, h8, w8, c = feat.shape
-        feat = jax.image.resize(feat, (B, h8 * 4, w8 * 4, c), "bilinear")
-        xyz32 = jax.image.resize(
-            depth_xyz, (B, h8 * 4, w8 * 4, 3), "nearest").astype(self.dtype)
+        # torch-exact resizes (reference: UpsamplingBilinear2d x4 +
+        # F.interpolate nearest to 32x32, resnet_backbone.py:281,307)
+        feat = upsample_bilinear_align_corners(feat, h8 * 4, w8 * 4)
+        xyz32 = downsample_nearest_torch(
+            depth_xyz, h8 * 4, w8 * 4).astype(self.dtype)
         fused = SpatialPointNet(dtype=self.dtype, name="spatial_net")(
             feat, xyz32, train=train)                            # [B,32,32,1024]
         if skip32 is not None:
@@ -222,9 +228,14 @@ class RDPN(nn.Module):
 
 
 def _mask_prob(mask_logits: jax.Array, mask_loss: str) -> jax.Array:
-    """Visibility probability map from head output (model_utils.py:6-22)."""
+    """Visibility probability map from head output
+    (model_utils.py:24-42)."""
     if mask_loss == "L1":
-        return mask_logits[..., :1]  # trained directly against 0/1 targets
+        # per-sample min-max normalization to [0,1] (get_mask_prob L1)
+        m = mask_logits[..., :1]
+        mn = jnp.min(m, axis=(1, 2, 3), keepdims=True)
+        mx = jnp.max(m, axis=(1, 2, 3), keepdims=True)
+        return (m - mn) / jnp.maximum(mx - mn, 1e-12)
     if mask_loss == "BCE":
         return jax.nn.sigmoid(mask_logits[..., :1])
     if mask_loss == "CE":
