@@ -62,12 +62,20 @@ def _frame_batches(cfg, batch_size: int, n: int = 4):
 
 
 def _measure(model, variables, batch_size: int, cfg,
-             n_iters: int = 10) -> float:
+             n_iters: int = 16) -> tuple[float, float]:
     """TRUE end-to-end: full RGB-D frames -> on-device preprocessing
     (DZI crop, depth backprojection, coord features) -> CNN -> poses.
-    Distinct inputs per iteration + a scalar host readback guard against
-    any execution caching in the device relay."""
-    frames = _frame_batches(cfg, batch_size)
+
+    Iterations are PIPELINED (async dispatch, one block at the end): the
+    device relay in this environment adds ~25 ms latency to every
+    synchronous round-trip, which is pure host-visible latency, not chip
+    time — production streams batches exactly like this. Distinct inputs
+    per iteration guard against execution caching in the relay; every
+    output participates in the final readback.
+
+    Returns (poses/sec, model FLOPs per pose from XLA cost analysis).
+    """
+    frames = _frame_batches(cfg, batch_size, n=8)
     key = jax.random.PRNGKey(1)
 
     @jax.jit
@@ -77,17 +85,21 @@ def _measure(model, variables, batch_size: int, cfg,
         out = model.apply(variables, batch, train=False)
         return out["rot_ego"], out["trans"], jnp.sum(out["trans"])
 
-    for i in range(2):  # warmup / compile
-        jax.block_until_ready(end_to_end(variables, frames[i % 4]))
+    for i in range(3):  # warmup / compile
+        jax.block_until_ready(end_to_end(variables, frames[i % 8]))
 
     start = time.perf_counter()
-    sink = 0.0
+    sinks = []
     for i in range(n_iters):
-        r, t, s = end_to_end(variables, frames[i % 4])
-        sink += float(s)  # forces device round-trip
+        _, _, s = end_to_end(variables, frames[i % 8])
+        sinks.append(s)
+    sink = float(sum(jax.block_until_ready(sinks)))
     elapsed = time.perf_counter() - start
     assert sink == sink, "NaN sink"
-    return batch_size * n_iters / elapsed
+
+    ca = end_to_end.lower(variables, frames[0]).compile().cost_analysis()
+    flops = (ca if isinstance(ca, dict) else ca[0]).get("flops", 0.0)
+    return batch_size * n_iters / elapsed, flops / batch_size
 
 
 def main() -> None:
@@ -96,11 +108,16 @@ def main() -> None:
     variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
                            train=False)
 
-    best_bs, best = 0, 0.0
-    for bs in (64, 128):
-        pps = _measure(model, variables, bs, cfg)
+    best_bs, best, best_fpp = 0, 0.0, 0.0
+    for bs in (64, 128, 256):
+        pps, fpp = _measure(model, variables, bs, cfg)
         if pps > best:
-            best_bs, best = bs, pps
+            best_bs, best, best_fpp = bs, pps, fpp
+
+    # MFU: analytic model FLOPs/pose (XLA cost analysis) / bf16 peak.
+    # TPU v5e peak: 394 TFLOP/s bf16.
+    peak = 394e12
+    mfu = best * best_fpp / peak
 
     print(json.dumps({
         "metric": "poses/sec/chip FULL-frame RGB-D->6DoF incl. on-device "
@@ -108,6 +125,8 @@ def main() -> None:
         "value": round(best, 2),
         "unit": "poses/sec",
         "vs_baseline": round(best / BASELINE_POSES_PER_SEC, 3),
+        "gflop_per_pose": round(best_fpp / 1e9, 2),
+        "mfu_pct": round(mfu * 100.0, 2),
     }))
 
 

@@ -442,13 +442,45 @@ def _register_defaults() -> None:
     register_split(Split("icbin_bop_test", "icbin", "test",
                          scene_ids=(1, 2, 3),
                          targets_file="test_targets_bop19.json"))
-    # per-object LM "SO" splits (reference lm_dataset_d2.py:360-580)
+    # LM PBR renders (reference lm_pbr.py: BOP train_pbr scenes 0-49 with
+    # a shared xyz_crop tree — covered by the layout fallbacks)
+    register_split(Split("lm_pbr_train", "lm", "train_pbr",
+                         scene_ids=tuple(range(50))))
+    # per-object LM "SO" splits (reference lm_dataset_d2.py:438-470:
+    # image_set index files over the object's own test scene)
     for obj in LM.objects:
         oid = LM.obj2id[obj]
-        register_split(Split(f"lm_{obj}_train", "lm", "train",
-                             scene_ids=(oid,), objs=(obj,)))
+        register_split(Split(f"lm_{obj}_train", "lm", "test",
+                             scene_ids=(oid,), objs=(obj,),
+                             per_obj_index="image_set/{obj}_train.txt"))
         register_split(Split(f"lm_{obj}_test", "lm", "test",
-                             scene_ids=(oid,), objs=(obj,)))
+                             scene_ids=(oid,), objs=(obj,),
+                             filter_invalid=False,
+                             per_obj_index="image_set/{obj}_test.txt"))
+        register_split(Split(f"lm_imgn_{obj}_train_1k_per_obj", "lm_imgn",
+                             "imgn", objs=(obj,), n_per_obj=1000,
+                             per_obj_index="image_set/train_{obj}.txt"))
+    # per-object YCB-V SO splits (reference ycbv_d2.py:429-478)
+    from .refs import YCBV, MP6D
+
+    for obj in YCBV.objects:
+        register_split(Split(f"ycbv_{obj}_train_real", "ycbv",
+                             "train_real", objs=(obj,),
+                             scene_ids=tuple(i for i in range(92)
+                                             if i not in range(48, 60)),
+                             index_file="image_sets/train.txt"))
+        register_split(Split(f"ycbv_{obj}_test", "ycbv", "test",
+                             objs=(obj,),
+                             scene_ids=tuple(range(48, 60)),
+                             index_file="image_sets/keyframe.txt",
+                             filter_invalid=False))
+    # per-object MP6D SO splits (reference mp6d.py:468-515)
+    for obj in MP6D.objects:
+        register_split(Split(f"mp6d_{obj}_train", "mp6d", "data",
+                             objs=(obj,), scene_ids=tuple(range(1, 21))))
+        register_split(Split(f"mp6d_{obj}_test", "mp6d", "data",
+                             objs=(obj,), scene_ids=tuple(range(1, 21)),
+                             filter_invalid=False))
 
 
 _register_defaults()

@@ -36,14 +36,11 @@ def inference_on_dataset(
     total_compute = 0.0
     total_process = 0.0
     n_rois = 0
-    for i, (batch, meta) in enumerate(batches):
-        t0 = time.perf_counter()
-        out = eval_step(state, batch)
-        rot = np.asarray(out["rot_ego"])  # blocks
+
+    def consume(out, meta, per):
+        rot = np.asarray(out["rot_ego"])  # blocks on THIS batch only
         trans = np.asarray(out["trans"])
-        t1 = time.perf_counter()
         n = len(meta)
-        per = (t1 - t0) / max(n, 1)
         evaluator.process_batch(
             [row["obj_name"] for row in meta], rot[:n], trans[:n],
             np.stack([row["R_gt"] for row in meta]),
@@ -52,11 +49,30 @@ def inference_on_dataset(
             scene_ids=np.array([row.get("scene_id", 0) for row in meta]),
             im_ids=np.array([row.get("im_id", 0) for row in meta]),
             times=np.full(n, per, np.float32))
+
+    # double-buffered: dispatch batch i+1 BEFORE blocking on batch i, so
+    # host conversion/accumulation overlaps device compute (and hides the
+    # per-dispatch relay latency; the reference's loop is fully synchronous,
+    # gdrn_evaluator.py:603-683)
+    pending = None  # (out, meta, t_dispatched)
+    for i, (batch, meta) in enumerate(batches):
+        t0 = time.perf_counter()
+        out = eval_step(state, batch)  # async dispatch
+        if pending is not None:
+            p_out, p_meta, p_t0 = pending
+            consume(p_out, p_meta, (t0 - p_t0) / max(len(p_meta), 1))
+            t2 = time.perf_counter()
+            if i > num_warmup:
+                total_compute += t0 - p_t0
+                total_process += t2 - t0
+                n_rois += len(p_meta)
+        pending = (out, meta, t0)
+    if pending is not None:
+        p_out, p_meta, p_t0 = pending
+        consume(p_out, p_meta, 0.0)
         t2 = time.perf_counter()
-        if i >= num_warmup:
-            total_compute += t1 - t0
-            total_process += t2 - t1
-            n_rois += len(meta)
+        total_compute += t2 - p_t0
+        n_rois += len(p_meta)
     if n_rois:
         logger.info(
             f"inference: {n_rois} rois, "

@@ -49,7 +49,10 @@ class DenseHead(nn.Module):
         32->64 decoder)."""
         # padding/((1,2),(1,2)) + transpose_kernel matches torch
         # ConvTranspose2d(k3, s2, p1, output_padding=1) exactly (verified to
-        # 1e-7), so reference checkpoints convert losslessly
+        # 1e-7), so reference checkpoints convert losslessly.
+        # (A 4-phase matmul decomposition — TorchConvTranspose2x — was
+        # benchmarked at -10% throughput: XLA already lowers this convT
+        # without materializing the zero-dilated input.)
         x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
                              padding=((1, 2), (1, 2)), use_bias=False,
                              transpose_kernel=True,
