@@ -67,6 +67,7 @@ def attach_detections(records: list[dict[str, Any]],
         for d in cands:
             r = dict(rec)
             r["bbox_visib"] = d["bbox"]
+            r["bbox_mode"] = "xyxy"  # det bboxes are already converted
             r["det_score"] = d["score"]
             r["det_time"] = d["time"]
             out.append(r)

@@ -29,8 +29,6 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     from ..data.assets import load_class_assets
     from ..data.bop import build_split_records, get_split
     from ..data.detections import attach_detections, load_detections
-    from ..data.loader import RecordDecoder
-    from ..data.pipeline import preprocess_batch
     from ..data.refs import get_ref
     from ..evaluation import PoseEvaluator
     from ..models import RDPN, dummy_batch
@@ -90,7 +88,6 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     assets = load_class_assets(ref, cfg.head.num_regions,
                                cfg.loss.num_pm_points,
                                objs=[ref.id2obj[oid] for oid in present])
-    decoder = RecordDecoder(cfg, assets, train=False)
 
     if model is None:
         model = RDPN(cfg, dtype=jnp.bfloat16)
@@ -122,42 +119,102 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
 
     key = jax.random.PRNGKey(0)
 
-    # fuse preprocessing + model into ONE compiled program per batch:
-    # a single device dispatch instead of two (relay round-trips are the
-    # fixed cost of small-batch eval)
-    inner_eval = eval_step
+    # fuse preprocessing + model into ONE compiled program per batch
+    # (a single device dispatch; relay round-trips are the fixed cost of
+    # small-batch eval), and deduplicate frames: test images carry several
+    # instances, so full frames cross host->device ONCE per image via the
+    # grouped pipeline instead of once per ROI (the reference re-collates
+    # the image per ROI, engine_utils.py:66-99)
+    from ..data.loader import _imread_depth, _imread_mask, _imread_rgb
+    from ..data.pipeline import preprocess_rois_grouped
 
-    def fused_step(state, frames):
-        batch = preprocess_batch(cfg, frames, key, train=False)
-        batch["roi_cls"] = frames["roi_cls"]
-        return inner_eval(state, batch)
+    max_frames = max(batch_size // 4, 1)
+
+    def fused_step(state, frames, rois, roi_cls):
+        batch = preprocess_rois_grouped(cfg, frames, rois, key,
+                                        train=False)
+        batch["roi_cls"] = roi_cls
+        return eval_step(state, batch)
 
     eval_step_fused = jax.jit(fused_step)
+    step_for_driver = lambda state, b: eval_step_fused(  # noqa: E731
+        state, b["frames"], b["rois"], b["roi_cls"])
+
+    def _host_bbox(rec) -> np.ndarray | None:
+        bbox = rec.get("bbox_visib")
+        if bbox is not None:
+            b = np.asarray(bbox, np.float32)
+            return np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]],
+                            np.float32) if rec.get(
+                "bbox_mode", "xywh") == "xywh" and b.shape[0] == 4 else b
+        m = _imread_mask(rec.get("mask_visib_path", "")) \
+            if rec.get("mask_visib_path") else None
+        if m is None or not m.any():
+            return None
+        ys, xs = np.nonzero(m)
+        return np.array([xs.min(), ys.min(), xs.max(), ys.max()],
+                        np.float32)
+
+    def _flush(frames_l, rois_l, meta):
+        F, B = len(frames_l), len(rois_l)
+        while len(frames_l) < max_frames:   # pad: one compiled shape
+            frames_l.append(frames_l[-1])
+        while len(rois_l) < batch_size:
+            rois_l.append(rois_l[-1])
+        frames = {k: jnp.asarray(np.stack([f[k] for f in frames_l]))
+                  for k in frames_l[0]}
+        rois = {k: jnp.asarray(np.stack([r[k] for r in rois_l]))
+                for k in rois_l[0] if k != "roi_cls"}
+        roi_cls = jnp.asarray(np.stack([r["roi_cls"] for r in rois_l]))
+        return {"frames": frames, "rois": rois, "roi_cls": roi_cls}, meta
 
     def batches():
-        for i in range(0, len(records), batch_size):
-            chunk = records[i:i + batch_size]
-            samples, meta = [], []
-            for rec in chunk:
+        frames_l: list[dict] = []
+        rois_l: list[dict] = []
+        meta: list[dict] = []
+        fmap: dict[tuple[int, int], int] = {}
+        for rec in records:
+            fkey = (rec["scene_id"], rec["im_id"])
+            if fkey not in fmap and (len(frames_l) == max_frames
+                                     or len(rois_l) == batch_size) \
+                    or fkey in fmap and len(rois_l) == batch_size:
+                yield _flush(frames_l, rois_l, meta)
+                frames_l, rois_l, meta, fmap = [], [], [], {}
+            if fkey not in fmap:
                 try:
-                    samples.append(decoder(rec))
+                    frame = {
+                        "rgb": _imread_rgb(rec["rgb_path"]),
+                        "depth": _imread_depth(rec["depth_path"],
+                                               rec["depth_factor"]),
+                        "K": rec["K"].astype(np.float32),
+                    }
                 except (FileNotFoundError, OSError) as e:
                     logger.warning(f"skip {rec['rgb_path']}: {e}")
                     continue
-                meta.append({
-                    "obj_name": id2name[rec["obj_id"]],
-                    "R_gt": rec["R"], "t_gt": rec["t"], "K": rec["K"],
-                    "scene_id": rec["scene_id"], "im_id": rec["im_id"],
-                })
-            if not samples:
+                fmap[fkey] = len(frames_l)
+                frames_l.append(frame)
+            bbox = _host_bbox(rec)
+            if bbox is None:
+                logger.warning(f"skip instance without bbox: {fkey} "
+                               f"obj {rec['obj_id']}")
                 continue
-            while len(samples) < batch_size:  # pad: one compiled shape
-                samples.append(samples[-1])
-            stacked = {k: jnp.asarray(np.stack([s[k] for s in samples]))
-                       for k in samples[0]}
-            yield stacked, meta
+            a = assets.for_obj(rec["obj_id"])
+            rois_l.append({
+                "frame_idx": np.int32(fmap[fkey]),
+                "bbox": bbox,
+                "fps": a["fps"].astype(np.float32),
+                "extent": a["extent"].astype(np.float32),
+                "roi_cls": np.int32(assets.obj_ids.index(rec["obj_id"])),
+            })
+            meta.append({
+                "obj_name": id2name[rec["obj_id"]],
+                "R_gt": rec["R"], "t_gt": rec["t"], "K": rec["K"],
+                "scene_id": rec["scene_id"], "im_id": rec["im_id"],
+            })
+        if meta:
+            yield _flush(frames_l, rois_l, meta)
 
-    stats = inference_on_dataset(eval_step_fused, state, batches(),
+    stats = inference_on_dataset(step_for_driver, state, batches(),
                                  evaluator)
 
     # multi-host: pool predictions before rank-0 scoring

@@ -222,3 +222,20 @@ def test_itodd_diameter_requires_models_info(tmp_path, monkeypatch):
     (mdir / "models_info.json").write_text(json.dumps(
         {"1": {"diameter": 87.5}}))
     assert ref.diameter_m(1) == pytest.approx(0.0875)
+
+
+def test_attached_detections_keep_xyxy():
+    """attach_detections produces xyxy boxes and marks them so decoders
+    don't re-apply the xywh->xyxy conversion (est-bbox crop regression)."""
+    from rdpn6d_tpu.data.detections import attach_detections
+
+    rec = {"scene_id": 1, "im_id": 0, "obj_id": 1,
+           "bbox_visib": np.array([10, 20, 30, 40], np.float32)}
+    dets = {(1, 0): [{"obj_id": 1, "bbox": np.array(
+        [100.0, 50.0, 180.0, 130.0], np.float32), "score": 0.9,
+        "time": -1.0}]}
+    out = attach_detections([rec], dets)
+    assert len(out) == 1
+    assert out[0]["bbox_mode"] == "xyxy"
+    np.testing.assert_allclose(out[0]["bbox_visib"],
+                               [100.0, 50.0, 180.0, 130.0])
