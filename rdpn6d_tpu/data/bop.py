@@ -223,6 +223,8 @@ def build_split_records(split: Split, cache_dir: str | None = None,
             split, ref, {ref.obj2id[o] for o in sel_objs}, ref.obj_ids)
     elif ref.layout == "imgn":
         records = _build_imgn_records(split, ref, sel_objs)
+    elif ref.layout == "blender":
+        records = _build_blender_records(split, ref, sel_objs)
     else:
         records = _build_bop_records(split, ref, sel_objs, flatten)
     if cache_dir:
@@ -353,6 +355,67 @@ def _build_imgn_records(split: Split, ref: DatasetRef,
     return records
 
 
+def _build_blender_records(split: Split, ref: DatasetRef,
+                           sel_objs: set[str]) -> list[dict]:
+    """Blender-rendered synthetic LM (reference lm_blender.py:112-196):
+    per-object GT json ``renders/{obj}_gt.json`` mapping image id ->
+    [{cam_R_m2c, cam_t_m2c (mm), bbox_visib, visib_fract}]; images at
+    ``renders/{obj}/{id}.jpg`` with ``_depth_opengl.png`` /
+    ``_mask_opengl.png`` / ``_xyz_bop.pkl`` siblings; LM camera; depth mm.
+    """
+    import json
+
+    objs = [o for o in (split.objs or tuple(ref.objects)) if o in sel_objs]
+    obj_ids_sorted = ref.obj_ids
+    K = ref.K()
+    records = []
+    for obj in objs:
+        with open(os.path.join(ref.root, "renders",
+                               f"{obj}_gt.json")) as f:
+            gt = json.load(f)
+        ids = list(gt.keys())
+        if split.n_per_obj > 0 and len(ids) > split.n_per_obj:
+            sel = np.linspace(0, len(ids) - 1, split.n_per_obj,
+                              dtype=np.int64)
+            ids = [ids[int(i)] for i in sel]
+        oid = ref.obj2id[obj]
+        sdir = os.path.join(ref.root, "renders", obj)
+        for str_im_id in ids:
+            anno = gt[str_im_id][0]  # one object per render
+            bbox = anno.get("bbox_visib")
+            if split.filter_invalid and bbox is not None \
+                    and (bbox[2] <= 1 or bbox[3] <= 1):
+                continue
+            records.append({
+                "dataset_name": split.name,
+                "ref_name": split.ref_name,
+                "scene_id": oid,
+                "im_id": int(str_im_id),
+                "rgb_path": os.path.join(sdir, f"{str_im_id}.jpg"),
+                "depth_path": os.path.join(
+                    sdir, f"{str_im_id}_depth_opengl.png"),
+                "depth_factor": 1000.0,
+                "K": K.astype(np.float32),
+                "height": ref.height,
+                "width": ref.width,
+                "obj_id": oid,
+                "cls_idx": obj_ids_sorted.index(oid),
+                "R": np.asarray(anno["cam_R_m2c"],
+                                np.float32).reshape(3, 3),
+                "t": np.asarray(anno["cam_t_m2c"],
+                                np.float32).reshape(3) / 1000.0,
+                "visib_fract": anno.get("visib_fract", 1.0),
+                "bbox_visib": np.asarray(bbox, np.float32)
+                if bbox is not None else None,
+                "mask_visib_path": os.path.join(
+                    sdir, f"{str_im_id}_mask_opengl.png"),
+                "xyz_path": os.path.join(sdir,
+                                         f"{str_im_id}_xyz_bop.pkl"),
+                "inst_idx": 0,
+            })
+    return records
+
+
 # ---------------------------------------------------------------------------
 # split registry (counterpart of the SPLITS_* dicts,
 # lm_dataset_d2.py:304-580 / ycbv_d2.py / mp6d.py:468-515)
@@ -392,6 +455,14 @@ def _register_defaults() -> None:
     register_split(Split("lm_imgn_13_train_1k_per_obj", "lm_imgn", "imgn",
                          objs=LM13_OBJECTS, n_per_obj=1000,
                          per_obj_index="image_set/train_{obj}.txt"))
+    # blender renders (lm_blender.py:301-340: BB8 training set)
+    register_split(Split("lm_blender_13_train", "lm_renders_blender",
+                         "renders", objs=LM13_OBJECTS,
+                         filter_invalid=False))
+    from .refs import LMO as _LMO
+    register_split(Split("lmo_blender_train", "lm_renders_blender",
+                         "renders", objs=tuple(_LMO.objects),
+                         filter_invalid=False))
     register_split(Split("lmo_train", "lmo", "train",
                          scene_ids=(2,)))
     register_split(Split("lmo_bop_test", "lmo", "test", scene_ids=(2,),

@@ -250,9 +250,21 @@ LM_IMGN = DatasetRef(
     model_ref="lm",
 )
 
+# Blender-rendered synthetic LM (reference lm_blender.py: the BB8 training
+# renders at datasets/lm_renders_blender/renders/{obj}/..., LM camera,
+# depth in mm, meshes borrowed from BOP lm).
+LM_BLENDER = DatasetRef(
+    name="lm_renders_blender",
+    id2obj=LM.id2obj,
+    diameters_mm=LM.diameters_mm,
+    camera_matrix=LM.camera_matrix,
+    layout="blender",
+    model_ref="lm",
+)
+
 REFS: dict[str, DatasetRef] = {
     r.name: r for r in (LM, LMO, YCBV, MP6D, TLESS, ITODD, HB, TUDL, ICBIN,
-                        LM_IMGN)
+                        LM_IMGN, LM_BLENDER)
 }
 
 

@@ -239,3 +239,48 @@ def test_attached_detections_keep_xyxy():
     assert out[0]["bbox_mode"] == "xyxy"
     np.testing.assert_allclose(out[0]["bbox_visib"],
                                [100.0, 50.0, 180.0, 130.0])
+
+
+def test_lm_blender_records(tmp_path, monkeypatch):
+    """Blender synthetic layout (reference lm_blender.py:112-196)."""
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(tmp_path))
+    import cv2
+
+    rdir = tmp_path / "lm_renders_blender" / "renders"
+    (rdir / "ape").mkdir(parents=True)
+    gt = {}
+    for i in range(3):
+        cv2.imwrite(str(rdir / "ape" / f"{i}.jpg"),
+                    np.zeros((480, 640, 3), np.uint8))
+        depth = np.zeros((480, 640), np.uint16)
+        depth[50:70, 80:100] = 900
+        cv2.imwrite(str(rdir / "ape" / f"{i}_depth_opengl.png"), depth)
+        cv2.imwrite(str(rdir / "ape" / f"{i}_mask_opengl.png"),
+                    (depth > 0).astype(np.uint8) * 255)
+        gt[str(i)] = [{"cam_R_m2c": np.eye(3).flatten().tolist(),
+                       "cam_t_m2c": [10.0, 20.0, 900.0],
+                       "bbox_visib": [80, 50, 20, 20],
+                       "visib_fract": 1.0}]
+    (rdir / "ape_gt.json").write_text(json.dumps(gt))
+
+    from rdpn6d_tpu.data.bop import get_split
+    get_split("lm_blender_13_train")  # registered
+    recs = build_split_records(
+        Split("t_blender", "lm_renders_blender", "renders", objs=("ape",),
+              filter_invalid=False))
+    assert len(recs) == 3
+    r = recs[0]
+    assert r["obj_id"] == 1 and r["depth_factor"] == 1000.0
+    np.testing.assert_allclose(r["t"], [0.01, 0.02, 0.9], atol=1e-6)
+    assert r["mask_visib_path"].endswith("0_mask_opengl.png")
+    assert r["xyz_path"].endswith("0_xyz_bop.pkl")
+
+    # decoder end-to-end: mask file + depth-derived xyz fallback
+    from rdpn6d_tpu.config import Config
+    from rdpn6d_tpu.data.assets import synthetic_class_assets
+    from rdpn6d_tpu.data.loader import RecordDecoder
+
+    cfg = Config().apply_opts(["head.num_regions=4"])
+    sample = RecordDecoder(cfg, synthetic_class_assets(num_regions=4),
+                           num_pm_points=16)(r)
+    assert sample["mask_visib"].sum() == 20 * 20
