@@ -103,20 +103,36 @@ def _xyz_path(ref: DatasetRef, subdir: str, sdir: str, scene_id: int,
     return candidates[0]
 
 
-def _build_ycb_style_records(split: Split, ref: DatasetRef,
-                             sel_ids: set[int],
-                             obj_ids_sorted: list[int]) -> list[dict]:
-    """YCB-Video/MP6D layout: data/{scene:04d}/{im:06d}-{color,depth,
-    label}.png + -meta.mat (PoseCNN convention; reference mp6d.py:140-163).
+def _ycb_style_plan(split: Split,
+                    ref: DatasetRef) -> list[tuple[str, int, int | None]]:
+    """(base_path_without_suffix, scene_id, im_id or None=glob-all).
 
-    meta.mat keys: cls_indexes [n], poses [3,4,n], intrinsic_matrix,
-    factor_depth.
+    With ``index_file`` (the reference MP6D protocol, mp6d.py:117-131):
+    lines ``data/0000/000000`` (real scenes) and ``data_syn_1/000000`` /
+    ``data_syn_2/000000`` (flat synthetic dirs, mapped to scene ids
+    78/79). Without: every -color.png of every split.scene_ids dir.
     """
+    if split.index_file:
+        idx = os.path.join(ref.root, split.index_file)
+        if os.path.exists(idx):
+            plan = []
+            for ln in _read_index_lines(idx):
+                parts = ln.split("/")
+                if parts[0] == "data":
+                    scene_id, im_id = int(parts[1]), int(parts[2])
+                    base = os.path.join(ref.root, "data",
+                                        f"{scene_id:04d}", f"{im_id:06d}")
+                elif parts[0] in ("data_syn_1", "data_syn_2"):
+                    scene_id = 78 if parts[0].endswith("1") else 79
+                    im_id = int(parts[1])
+                    base = os.path.join(ref.root, parts[0], f"{im_id:06d}")
+                else:
+                    continue
+                plan.append((base, scene_id, im_id))
+            return plan
     import glob
 
-    from scipy.io import loadmat
-
-    records = []
+    plan = []
     for scene_id in split.scene_ids:
         sdir = os.path.join(ref.root, split.subdir, f"{scene_id:04d}")
         if not os.path.isdir(sdir):
@@ -124,44 +140,66 @@ def _build_ycb_style_records(split: Split, ref: DatasetRef,
         for rgb_path in sorted(glob.glob(os.path.join(sdir,
                                                       "*-color.png"))):
             im_id = int(os.path.basename(rgb_path).split("-")[0])
-            base = rgb_path[:-len("-color.png")]
-            meta = loadmat(base + "-meta.mat")
-            K = np.asarray(meta["intrinsic_matrix"], np.float64)
-            factor = float(np.squeeze(meta.get("factor_depth",
-                                               ref.depth_factor)))
-            cls = np.atleast_1d(np.squeeze(
-                meta["cls_indexes"])).astype(int)
-            poses = np.asarray(meta["poses"], np.float64)
-            if poses.ndim == 2:
-                poses = poses[..., None]
-            for j, obj_id in enumerate(cls):
-                if obj_id not in sel_ids:
-                    continue
-                P = poses[:, :, j]
-                records.append({
-                    "dataset_name": split.name,
-                    "ref_name": split.ref_name,
-                    "scene_id": scene_id,
-                    "im_id": im_id,
-                    "rgb_path": rgb_path,
-                    "depth_path": base + "-depth.png",
-                    "label_path": base + "-label.png",
-                    "label_obj_id": int(obj_id),
-                    "depth_factor": factor,
-                    "K": K.astype(np.float32),
-                    "height": ref.height,
-                    "width": ref.width,
-                    "obj_id": int(obj_id),
-                    "cls_idx": obj_ids_sorted.index(int(obj_id)),
-                    "R": P[:3, :3].astype(np.float32),
-                    "t": P[:3, 3].astype(np.float32),
-                    "visib_fract": 1.0,
-                    "bbox_visib": None,
-                    "mask_visib_path": "",
-                    "xyz_path": _xyz_path(ref, split.subdir, sdir, scene_id,
-                                          im_id, j),
-                    "inst_idx": j,
-                })
+            plan.append((rgb_path[:-len("-color.png")], scene_id, im_id))
+    return plan
+
+
+def _build_ycb_style_records(split: Split, ref: DatasetRef,
+                             sel_ids: set[int],
+                             obj_ids_sorted: list[int]) -> list[dict]:
+    """YCB-Video/MP6D layout: data/{scene:04d}/{im:06d}-{color,depth,
+    label}.png + -meta.mat (PoseCNN convention; reference mp6d.py:140-214).
+
+    meta.mat keys: cls_indexes [n], poses [3,4,n] with translation in MM,
+    intrinsic_matrix, factor_depth in mm-per-raw-unit — the raw-per-meter
+    divisor is 1000/factor_depth and translations convert /1000
+    (mp6d.py:177,206).
+    """
+    from scipy.io import loadmat
+
+    records = []
+    for base, scene_id, im_id in _ycb_style_plan(split, ref):
+        rgb_path = base + "-color.png"
+        meta = loadmat(base + "-meta.mat")
+        K = np.asarray(meta["intrinsic_matrix"], np.float64)
+        if "factor_depth" in meta:
+            factor = 1000.0 / float(np.squeeze(meta["factor_depth"]))
+        else:
+            factor = ref.depth_factor
+        cls = np.atleast_1d(np.squeeze(
+            meta["cls_indexes"])).astype(int)
+        poses = np.asarray(meta["poses"], np.float64)
+        if poses.ndim == 2:
+            poses = poses[..., None]
+        sdir = os.path.dirname(base)
+        for j, obj_id in enumerate(cls):
+            if obj_id not in sel_ids:
+                continue
+            P = poses[:, :, j]
+            records.append({
+                "dataset_name": split.name,
+                "ref_name": split.ref_name,
+                "scene_id": scene_id,
+                "im_id": im_id,
+                "rgb_path": rgb_path,
+                "depth_path": base + "-depth.png",
+                "label_path": base + "-label.png",
+                "label_obj_id": int(obj_id),
+                "depth_factor": factor,
+                "K": K.astype(np.float32),
+                "height": ref.height,
+                "width": ref.width,
+                "obj_id": int(obj_id),
+                "cls_idx": obj_ids_sorted.index(int(obj_id)),
+                "R": P[:3, :3].astype(np.float32),
+                "t": (P[:3, 3] / 1000.0).astype(np.float32),
+                "visib_fract": 1.0,
+                "bbox_visib": None,
+                "mask_visib_path": "",
+                "xyz_path": _xyz_path(ref, split.subdir, sdir, scene_id,
+                                      im_id, j),
+                "inst_idx": j,
+            })
     return records
 
 
@@ -484,10 +522,15 @@ def _register_defaults() -> None:
                          index_file="image_sets/keyframe.txt",
                          filter_invalid=False,
                          targets_file="test_targets_bop19.json"))
+    # MP6D protocol (reference mp6d.py:468-480): train/test index files
+    # over real scenes + the two flat synthetic dirs (scenes 78/79)
     register_split(Split("mp6d_train", "mp6d", "data",
-                         scene_ids=tuple(range(1, 21))))
+                         scene_ids=tuple(range(0, 21)),
+                         index_file="image_set/train_data_list.txt"))
     register_split(Split("mp6d_test", "mp6d", "data",
-                         scene_ids=tuple(range(1, 21))))
+                         scene_ids=tuple(range(0, 21)),
+                         index_file="image_set/test_data_list.txt",
+                         filter_invalid=False))
     register_split(Split("tless_primesense_train", "tless",
                          "train_primesense", scene_ids=tuple(range(1, 31))))
     register_split(Split("tless_bop_test", "tless", "test_primesense",

@@ -117,11 +117,13 @@ def test_ycb_style_records(tmp_path, monkeypatch):
     cv2.imwrite(str(sdir / "000000-depth.png"),
                 (depth * 1000).astype(np.uint16))
     cv2.imwrite(str(sdir / "000000-label.png"), label)
+    # reference MP6D conventions (mp6d.py:177,206): poses in mm,
+    # factor_depth in mm per raw depth unit (depth png here is mm -> 1.0)
     savemat(str(sdir / "000000-meta.mat"), {
         "cls_indexes": np.array([[3]]),
-        "poses": np.dstack([np.hstack([R, t[:, None]])]),
+        "poses": np.dstack([np.hstack([R, t[:, None] * 1000.0])]),
         "intrinsic_matrix": K,
-        "factor_depth": np.array([[1000.0]]),
+        "factor_depth": np.array([[1.0]]),
     })
 
     monkeypatch.setattr(refs_mod, "DATA_ROOT", str(root))

@@ -284,3 +284,47 @@ def test_lm_blender_records(tmp_path, monkeypatch):
     sample = RecordDecoder(cfg, synthetic_class_assets(num_regions=4),
                            num_pm_points=16)(r)
     assert sample["mask_visib"].sum() == 20 * 20
+
+
+def test_mp6d_index_file_protocol(tmp_path, monkeypatch):
+    """MP6D train/test index lists: data/0000/000000 real lines and
+    data_syn_{1,2}/000000 flat synthetic lines mapped to scenes 78/79
+    (reference mp6d.py:117-131)."""
+    import cv2
+    from scipy.io import savemat
+
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(tmp_path))
+    root = tmp_path / "mp6d"
+    K = np.array([[567.5, 0, 312.7], [0, 569.4, 257.2], [0, 0, 1]])
+
+    def write_im(base, t_m):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        cv2.imwrite(base + "-color.png", np.zeros((4, 4, 3), np.uint8))
+        cv2.imwrite(base + "-depth.png", np.full((4, 4), 900, np.uint16))
+        cv2.imwrite(base + "-label.png", np.zeros((4, 4), np.uint8))
+        savemat(base + "-meta.mat", {
+            "cls_indexes": np.array([[3]]),
+            "poses": np.dstack([np.hstack(
+                [np.eye(3), np.array(t_m)[:, None] * 1000.0])]),
+            "intrinsic_matrix": K,
+            "factor_depth": np.array([[1.0]]),
+        })
+
+    write_im(str(root / "data" / "0001" / "000000"), [0.0, 0.0, 0.6])
+    write_im(str(root / "data" / "0001" / "000005"), [0.0, 0.0, 0.7])
+    write_im(str(root / "data_syn_1" / "000002"), [0.0, 0.0, 0.8])
+    (root / "image_set").mkdir()
+    (root / "image_set" / "train_data_list.txt").write_text(
+        "data/0001/000000\ndata_syn_1/000002\n")
+
+    recs = build_split_records(
+        Split("t_mp6d", "mp6d", "data", scene_ids=(1,),
+              index_file="image_set/train_data_list.txt"))
+    got = sorted((r["scene_id"], r["im_id"]) for r in recs)
+    assert got == [(1, 0), (78, 2)]
+    # reference units: poses mm -> m, depth raw mm -> factor 1000/1
+    for r in recs:
+        assert r["depth_factor"] == pytest.approx(1000.0)
+    assert recs[0]["t"][2] == pytest.approx(0.6)
+    syn = [r for r in recs if r["scene_id"] == 78][0]
+    assert syn["t"][2] == pytest.approx(0.8)
