@@ -204,8 +204,12 @@ TLESS = DatasetRef(
 ITODD = DatasetRef(
     name="itodd",
     id2obj={i: f"obj_{i:02d}" for i in range(1, 29)},
-    diameters_mm=tuple([100.0] * 28),  # placeholder: models_info required
-    diameters_reliable=False,
+    # dataset constants, ref/itodd_full.py:40-73 (mm)
+    diameters_mm=(64.0944, 51.4741, 142.15, 139.379, 158.583, 85.3086,
+                  38.5388, 68.884, 94.8011, 55.7152, 140.121, 107.703,
+                  128.059, 102.883, 114.191, 193.148, 77.7869, 108.482,
+                  121.383, 122.019, 171.23, 267.47, 56.9323, 65.0,
+                  48.5103, 66.8026, 55.7315, 24.0832),
     camera_matrix=((2992.63, 0.0, 633.886), (0.0, 3003.985, 489.554),
                    (0.0, 0.0, 1.0)),
     width=1280, height=960,
@@ -214,8 +218,13 @@ ITODD = DatasetRef(
 HB = DatasetRef(
     name="hb",
     id2obj={i: f"obj_{i:02d}" for i in range(1, 34)},
-    diameters_mm=tuple([100.0] * 33),  # placeholder: models_info required
-    diameters_reliable=False,
+    # dataset constants, ref/hb_full.py:74-83 (mm)
+    diameters_mm=(232.572, 257.407, 166.500, 179.029, 205.401, 121.408,
+                  263.718, 186.813, 166.572, 180.804, 238.514, 156.887,
+                  145.339, 243.733, 113.032, 101.588, 132.771, 211.134,
+                  185.582, 244.828, 212.603, 190.203, 233.857, 252.263,
+                  202.905, 183.794, 264.442, 477.464, 198.004, 416.202,
+                  157.985, 201.759, 187.233),
     camera_matrix=((537.4799, 0.0, 318.8965), (0.0, 536.1447, 238.3781),
                    (0.0, 0.0, 1.0)),
 )
