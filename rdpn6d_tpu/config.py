@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import importlib.util
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -222,11 +223,24 @@ class Config:
 
 
 def load_config(path: str, opts: list[str] | None = None) -> Config:
-    """Load a python config module exposing ``get_config() -> Config``."""
+    """Load a python config module exposing ``get_config() -> Config``.
+
+    Parametric configs take a variant suffix after ``:`` —
+    ``configs/so.py:tudl/can`` calls ``get_config("tudl/can")``. This
+    replaces the reference's per-object config-file families
+    (configs/gdrn/*SO/, one copy-pasted file per object) with one
+    parametric module.
+    """
+    variant = None
+    if ":" in path and not os.path.exists(path):
+        path, _, variant = path.rpartition(":")
     spec = importlib.util.spec_from_file_location("exp_config", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    cfg = mod.get_config()
+    if variant is not None:
+        cfg = mod.get_config(variant)
+    else:
+        cfg = mod.get_config()
     if opts:
         cfg = cfg.apply_opts(opts)
     return cfg

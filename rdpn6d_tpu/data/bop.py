@@ -583,6 +583,8 @@ def _register_defaults() -> None:
                              scene_ids=tuple(i for i in range(92)
                                              if i not in range(48, 60)),
                              index_file="image_sets/train.txt"))
+        register_split(Split(f"ycbv_{obj}_train_pbr", "ycbv", "train_pbr",
+                             objs=(obj,), scene_ids=tuple(range(50))))
         register_split(Split(f"ycbv_{obj}_test", "ycbv", "test",
                              objs=(obj,),
                              scene_ids=tuple(range(48, 60)),
@@ -595,6 +597,49 @@ def _register_defaults() -> None:
         register_split(Split(f"mp6d_{obj}_test", "mp6d", "data",
                              objs=(obj,), scene_ids=tuple(range(1, 21)),
                              filter_invalid=False))
+    # per-object SO splits for the remaining BOP datasets (reference
+    # configs/gdrn/{lmo,tless,tudl,itodd,icbin,hb}SO dataset names:
+    # e.g. tless_real_1_train / tless_pbr_1_train, tudl_real_can_train,
+    # itodd_pbr_1_{train,test}, hb_pbr_01_bear_{train,test},
+    # lm_real_ape_all + lmo_pbr_ape_train + lmo_blender_ape_train)
+    for obj in _LMO.objects:
+        oid = LM.obj2id[obj]
+        # every image of the object's own LM scene (train+test union,
+        # lm_dataset_d2.py "lm_real_{obj}_all")
+        register_split(Split(f"lm_real_{obj}_all", "lm", "test",
+                             scene_ids=(oid,), objs=(obj,)))
+        register_split(Split(f"lmo_pbr_{obj}_train", "lmo", "train_pbr",
+                             objs=(obj,), scene_ids=tuple(range(50))))
+        register_split(Split(f"lmo_blender_{obj}_train",
+                             "lm_renders_blender", "renders", objs=(obj,),
+                             filter_invalid=False))
+    from .refs import TLESS, TUDL, ICBIN, ITODD, HB
+
+    for obj in TLESS.objects:  # real train scene id == object id
+        oid = TLESS.obj2id[obj]
+        register_split(Split(f"tless_real_{obj}_train", "tless",
+                             "train_primesense", objs=(obj,),
+                             scene_ids=(oid,)))
+        register_split(Split(f"tless_pbr_{obj}_train", "tless",
+                             "train_pbr", objs=(obj,),
+                             scene_ids=tuple(range(50))))
+    for obj in TUDL.objects:  # real train scene id == object id
+        oid = TUDL.obj2id[obj]
+        register_split(Split(f"tudl_real_{obj}_train", "tudl",
+                             "train_real", objs=(obj,), scene_ids=(oid,)))
+        register_split(Split(f"tudl_pbr_{obj}_train", "tudl", "train_pbr",
+                             objs=(obj,), scene_ids=tuple(range(50))))
+    for ds_ref, n_scenes in ((ITODD, 50), (ICBIN, 50), (HB, 50)):
+        for obj in ds_ref.objects:
+            register_split(Split(f"{ds_ref.name}_pbr_{obj}_train",
+                                 ds_ref.name, "train_pbr", objs=(obj,),
+                                 scene_ids=tuple(range(n_scenes - 2))))
+            # last two pbr scenes held out as the SO validation split
+            # (real itodd/hb test GT is withheld on BOP)
+            register_split(Split(f"{ds_ref.name}_pbr_{obj}_test",
+                                 ds_ref.name, "train_pbr", objs=(obj,),
+                                 scene_ids=(n_scenes - 2, n_scenes - 1),
+                                 filter_invalid=False))
 
 
 _register_defaults()

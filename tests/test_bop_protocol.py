@@ -212,11 +212,13 @@ def test_lm_imgn_records(tmp_path, monkeypatch):
                                atol=1e-6)
 
 
-def test_itodd_diameter_requires_models_info(tmp_path, monkeypatch):
+def test_itodd_diameter_constants_and_models_info_override(
+        tmp_path, monkeypatch):
     monkeypatch.setattr(refs_mod, "DATA_ROOT", str(tmp_path))
     ref = refs_mod.get_ref("itodd")
-    with pytest.raises(RuntimeError, match="models_info"):
-        ref.diameter_m(1)
+    # built-in dataset constant (ref/itodd_full.py:40) without models_info
+    assert ref.diameter_m(1) == pytest.approx(0.0640944)
+    # models_info.json on disk takes precedence
     mdir = tmp_path / "itodd" / "models"
     mdir.mkdir(parents=True)
     (mdir / "models_info.json").write_text(json.dumps(

@@ -1,0 +1,51 @@
+"""Parametric single-object (SO) config family (configs/so.py).
+
+Counterpart coverage for the reference's configs/gdrn/*SO/ per-object
+config files: every (dataset, object) variant must resolve to registered
+train/test splits and a single-class model config.
+"""
+
+import pytest
+
+from rdpn6d_tpu.config import load_config
+from rdpn6d_tpu.data.bop import get_split
+from rdpn6d_tpu.data.refs import get_ref
+
+FAMILIES = ("lm", "lmo", "ycbv", "mp6d", "tless", "tudl",
+            "itodd", "icbin", "hb")
+
+
+@pytest.mark.parametrize("dataset", FAMILIES)
+def test_every_object_variant_resolves(dataset):
+    ref = get_ref(dataset)
+    objs = ref.objects if dataset != "lm" else [
+        o for o in ref.objects if o not in ("bowl", "cup")]
+    for obj in objs:
+        cfg = load_config(f"configs/so.py:{dataset}/{obj}")
+        assert cfg.head.num_classes == 1
+        assert not cfg.head.rot_class_aware
+        for name in (*cfg.data.train_datasets, *cfg.data.train2_datasets,
+                     *cfg.data.test_datasets):
+            sp = get_split(name)
+            # SO train splits restrict to the single object (test splits
+            # for lmo/tless/tudl score the shared bop test set)
+            if name in cfg.data.train_datasets and sp.objs:
+                assert sp.objs == (obj,)
+        if cfg.data.train2_datasets:
+            assert 0.0 < cfg.data.train2_ratio <= 1.0
+
+
+def test_unknown_variant_fails_fast():
+    with pytest.raises(ValueError, match="SO variant"):
+        load_config("configs/so.py:nope/ape")
+    with pytest.raises(ValueError, match="no object"):
+        load_config("configs/so.py:tudl/ape")
+
+
+def test_variant_suffix_only_split_when_path_missing(tmp_path):
+    # a real path containing ':' would not be split
+    p = tmp_path / "weird:name.py"
+    p.write_text("from rdpn6d_tpu.config import Config\n"
+                 "def get_config():\n    return Config(exp_name='w')\n")
+    cfg = load_config(str(p))
+    assert cfg.exp_name == "w"
