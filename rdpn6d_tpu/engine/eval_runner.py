@@ -90,7 +90,8 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                                objs=[ref.id2obj[oid] for oid in present])
 
     if model is None:
-        model = RDPN(cfg, dtype=jnp.bfloat16)
+        model = RDPN(cfg, dtype=jnp.bfloat16,
+                     int8=cfg.test.int8 or False)
     if state is None:
         variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
                                train=False)
@@ -283,7 +284,8 @@ def coord_regression_eval(cfg: Config, ckpt_dir: str, split_name: str,
     decoder = RecordDecoder(dbg_cfg, assets, train=False)
 
     if model is None:
-        model = RDPN(cfg, dtype=jnp.bfloat16)
+        model = RDPN(cfg, dtype=jnp.bfloat16,
+                     int8=cfg.test.int8 or False)
     if state is None:
         variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
                                train=False)

@@ -40,7 +40,7 @@ class Predictor:
         self.cfg = cfg
         self.assets = assets
         self.batch_size = batch_size
-        self.model = RDPN(cfg, dtype=dtype)
+        self.model = RDPN(cfg, dtype=dtype, int8=cfg.test.int8 or False)
         variables = self.model.init(jax.random.PRNGKey(0),
                                     dummy_batch(cfg, 2), train=False)
         if params_pkl:

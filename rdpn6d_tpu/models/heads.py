@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .quant import conv_factory
+
 
 def _make_norm(kind: str, gn_groups: int, train: bool, dtype):
     if kind == "BN":
@@ -39,6 +41,7 @@ class DenseHead(nn.Module):
     norm: str = "BN"
     gn_groups: int = 32
     dtype: Any = jnp.float32
+    int8: bool = False              # quantize the body convs (models/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, skip64=None):
@@ -61,19 +64,23 @@ class DenseHead(nn.Module):
         x = nn.relu(x)
         if skip64 is not None:
             x = jnp.concatenate([x, skip64.astype(x.dtype)], axis=-1)
+        conv = conv_factory(self.int8, self.dtype)
         for i in range(self.num_layers):
             if i >= 3:  # extra layers upsample further (reference :104)
                 from ..ops.resize import upsample_bilinear_align_corners
                 x = upsample_bilinear_align_corners(
                     x, x.shape[1] * 2, x.shape[2] * 2)
             for _ in range(2):
-                x = nn.Conv(self.num_filters, (3, 3), padding=1,
-                            use_bias=False, dtype=self.dtype)(x)
+                x = conv(self.num_filters, (3, 3), padding=1,
+                         use_bias=False)(x)
                 x = _make_norm(self.norm, self.gn_groups, train,
                                self.dtype)(x)
                 x = nn.relu(x)
+        # output logits conv stays bf16/f32 regardless of int8 mode; name
+        # continues the body sequence so the param tree matches exactly
         out = nn.Conv(self.mask_dim + self.coord_dim + self.region_dim,
-                      (1, 1), dtype=self.dtype)(x)
+                      (1, 1), dtype=self.dtype,
+                      name=f"Conv_{2 * self.num_layers}")(x)
         out = out.astype(jnp.float32)  # logits in f32 for stable losses
         mask = out[..., : self.mask_dim]
         coord = out[..., self.mask_dim: self.mask_dim + self.coord_dim]

@@ -37,6 +37,17 @@ class RDPN(nn.Module):
 
     cfg: Config
     dtype: Any = jnp.bfloat16
+    int8: Any = False               # W8A8 serving mode (models/quant.py):
+    # False | True/"all" | "trunk" | "head". Same param tree as the bf16
+    # model, so bf16-trained checkpoints serve in int8 directly.
+
+    @property
+    def _int8_trunk(self) -> bool:
+        return self.int8 in (True, "all", "trunk")
+
+    @property
+    def _int8_head(self) -> bool:
+        return self.int8 in (True, "all", "head")
 
     @nn.compact
     def __call__(self, batch: dict[str, jax.Array], train: bool = False,
@@ -51,7 +62,7 @@ class RDPN(nn.Module):
 
         # trunk on RGB; XYZ joins at 32x32 via the pointnet fusion
         trunk = ResNetTrunk(cfg.backbone.depth, dtype=self.dtype,
-                            name="backbone")
+                            int8=self._int8_trunk, name="backbone")
         if cfg.backbone.rot_concat:
             feat, skips = trunk(rgb, train=train, return_skips=True)
             skip64, skip32 = skips[0], skips[1]  # [B,64,64,*], [B,32,32,*]
@@ -87,6 +98,7 @@ class RDPN(nn.Module):
             norm=head_cfg.norm,
             gn_groups=head_cfg.gn_groups,
             dtype=self.dtype,
+            int8=self._int8_head,
             name="dense_head",
         )(fused, train=train, skip64=skip64)
 

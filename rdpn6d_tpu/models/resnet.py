@@ -15,6 +15,8 @@ from typing import Any, Callable, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .quant import conv_factory
+
 RESNET_SPECS: dict[int, tuple[str, Sequence[int]]] = {
     18: ("basic", (2, 2, 2, 2)),
     34: ("basic", (3, 4, 6, 3)),
@@ -28,23 +30,24 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: Any = jnp.float32
+    int8: bool = False              # W8A8 serving mode (models/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        conv = conv_factory(self.int8, self.dtype)
         norm = lambda: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             param_dtype=jnp.float32)
         residual = x
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype)(x)
+        y = conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                 padding=1, use_bias=False)(x)
         y = nn.relu(norm()(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(y)
+        y = conv(self.planes, (3, 3), padding=1, use_bias=False)(y)
         y = norm()(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.planes, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype)(x)
+            residual = conv(self.planes, (1, 1),
+                            strides=(self.stride, self.stride),
+                            use_bias=False)(x)
             residual = norm()(residual)
         return nn.relu(y + residual)
 
@@ -53,25 +56,27 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        conv = conv_factory(self.int8, self.dtype)
         norm = lambda: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             param_dtype=jnp.float32)
         out_planes = self.planes * 4
         residual = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = conv(self.planes, (1, 1), use_bias=False)(x)
         y = nn.relu(norm()(y))
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                 padding=1, use_bias=False)(y)
         y = nn.relu(norm()(y))
-        y = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = conv(out_planes, (1, 1), use_bias=False)(y)
         y = norm()(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(out_planes, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype)(x)
+            residual = conv(out_planes, (1, 1),
+                            strides=(self.stride, self.stride),
+                            use_bias=False)(x)
             residual = norm()(residual)
         return nn.relu(y + residual)
 
@@ -81,15 +86,16 @@ class ResNetTrunk(nn.Module):
 
     depth: int = 34
     dtype: Any = jnp.float32
+    int8: bool = False              # W8A8 serving mode (models/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False,
                  return_skips: bool = False):
         block_kind, layers = RESNET_SPECS[self.depth]
         block: Callable = BasicBlock if block_kind == "basic" else Bottleneck
+        conv = conv_factory(self.int8, self.dtype)
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype)(x)
+        x = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu(x)
@@ -100,7 +106,8 @@ class ResNetTrunk(nn.Module):
                 zip((64, 128, 256, 512), layers)):
             for i in range(n_blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                x = block(planes, stride, dtype=self.dtype)(x, train=train)
+                x = block(planes, stride, dtype=self.dtype,
+                          int8=self.int8)(x, train=train)
             skips.append(x)
 
         if return_skips:

@@ -1,0 +1,95 @@
+"""W8A8 int8 serving mode (models/quant.py).
+
+The int8 model must expose the EXACT parameter tree of the bf16 model
+(bf16-trained / converted-reference checkpoints serve in int8 directly)
+and introduce only bounded quantization error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdpn6d_tpu.config import Config
+from rdpn6d_tpu.models import RDPN, dummy_batch
+from rdpn6d_tpu.models.quant import Int8Conv, quantize_symmetric
+
+TINY = ["backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32", "data.input_res=64",
+        "data.out_res=16"]
+
+
+def test_quantize_symmetric_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+    q, s = quantize_symmetric(x)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    # symmetric int8: worst-case error is half a quantization step
+    assert err.max() <= float(np.asarray(s)) * 0.5 + 1e-6
+
+
+def test_int8_conv_matches_fp_conv():
+    from flax import linen as nn
+
+    k = jax.random.PRNGKey(1)
+    x = jax.random.normal(k, (2, 16, 16, 32))
+    ref = nn.Conv(48, (3, 3), padding=1, use_bias=False, dtype=jnp.float32,
+                  name="Conv_0")
+    q = Int8Conv(48, (3, 3), padding=1, dtype=jnp.float32, name="Conv_0")
+    v = ref.init(k, x)
+    yr = np.asarray(ref.apply(v, x), np.float64)
+    yq = np.asarray(q.apply(v, x), np.float64)
+    # per-channel W8 + per-tensor A8: relative RMS error ~<2% on gaussians
+    rms = np.sqrt(((yr - yq) ** 2).mean()) / (yr.std() + 1e-12)
+    assert rms < 0.02, rms
+    # param name/shape identical to the fp conv
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        q.init(k, x))
+
+
+def test_int8_model_same_param_tree_and_close_output():
+    cfg = Config().apply_opts(TINY)
+    b = dummy_batch(cfg, 2)
+    k = jax.random.PRNGKey(3)
+    b["roi_img"] = jax.random.uniform(k, b["roi_img"].shape) * 2 - 1
+    b["roi_coord_2d"] = jax.random.uniform(k, b["roi_coord_2d"].shape)
+    b["fps"] = jax.random.normal(k, b["fps"].shape) * 0.05
+    m = RDPN(cfg, dtype=jnp.float32)
+    m8 = RDPN(cfg, dtype=jnp.float32, int8=True)
+    v = m.init(jax.random.PRNGKey(0), b, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                m8.init(jax.random.PRNGKey(0), b, train=False)))
+    o = m.apply(v, b, train=False)
+    o8 = m8.apply(v, b, train=False)  # same weights, quantized compute
+    # rotations stay valid and close at the output (random weights are the
+    # worst case for quantization; trained weights are tighter — the
+    # on-chip overfit eval in tools/overfit_synth.py --int8 is the
+    # accuracy gate)
+    R = np.asarray(o8["rot_ego"], np.float64)
+    eye = np.eye(3)
+    assert np.abs(R @ R.transpose(0, 2, 1) - eye).max() < 1e-4
+    assert np.abs(np.asarray(o["trans"]) - np.asarray(o8["trans"])).max() \
+        < 0.05
+
+
+def test_int8_granularity_and_config_wiring():
+    cfg = Config().apply_opts(TINY + ['test.int8="head"'])
+    assert cfg.test.int8 == "head"
+    m = RDPN(cfg, dtype=jnp.float32, int8=cfg.test.int8 or False)
+    assert not m._int8_trunk and m._int8_head
+    m2 = RDPN(cfg, dtype=jnp.float32, int8="trunk")
+    assert m2._int8_trunk and not m2._int8_head
+    m3 = RDPN(cfg, dtype=jnp.float32, int8=False)
+    assert not m3._int8_trunk and not m3._int8_head
+
+
+def test_int8_conv_uses_integer_mxu_path():
+    """The contraction must be int8 x int8 -> int32 (the 2x-rate MXU
+    path), not a dequantize-then-float conv."""
+    q = Int8Conv(8, (3, 3), padding=1, dtype=jnp.float32, name="c")
+    x = jnp.ones((1, 8, 8, 4))
+    v = q.init(jax.random.PRNGKey(0), x)
+    txt = jax.jit(lambda v, x: q.apply(v, x)).lower(v, x).as_text()
+    assert "xi8>" in txt, "no int8 operands in lowered HLO"
+    assert "convolution" in txt and "xi32>" in txt, \
+        "no int32-accumulating convolution in lowered HLO"

@@ -77,6 +77,9 @@ def main():
     p.add_argument("--out", default="/tmp/overfit_synth")
     p.add_argument("--small", action="store_true",
                    help="tiny model (CPU-friendly)")
+    p.add_argument("--int8", action="store_true",
+                   help="also evaluate the trained weights through the "
+                        "W8A8 int8 serving mode (models/quant.py)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -113,20 +116,27 @@ def main():
 
     state = trainer.train(loader(), start_iter=0)
 
-    eval_step = make_eval_step(cfg, model)
-    out = eval_step(state, batch)
-    ev = PoseEvaluator(models={"cube": model_pts},
-                       diameters={"cube": float(0.1 * np.sqrt(3))},
-                       sym_rots={"cube": None})
-    for i, (R, t) in enumerate(poses):
-        ev.process("cube", np.asarray(out["rot_ego"][i]),
-                   np.asarray(out["trans"][i]), R, t,
-                   np.asarray(batch["roi_cam"][i]), im_id=i)
-    res = ev.evaluate()
-    print(format_table(res))
-    rec = res["per_obj"]["cube"]
-    print(f"RESULT ad_10={rec['ad_10']:.1f} re_5={rec['re_5']:.1f} "
-          f"te_2={rec['te_2']:.1f} AUCad={rec['AUCad']:.1f}")
+    modes = [("bf16", model)]
+    if args.int8:
+        for gran in ("all", "trunk", "head"):
+            modes.append((f"int8-{gran}",
+                          RDPN(cfg, dtype=model.dtype, int8=gran)))
+    for tag, eval_model in modes:
+        eval_step = make_eval_step(cfg, eval_model)
+        out = eval_step(state, batch)
+        ev = PoseEvaluator(models={"cube": model_pts},
+                           diameters={"cube": float(0.1 * np.sqrt(3))},
+                           sym_rots={"cube": None})
+        for i, (R, t) in enumerate(poses):
+            ev.process("cube", np.asarray(out["rot_ego"][i]),
+                       np.asarray(out["trans"][i]), R, t,
+                       np.asarray(batch["roi_cam"][i]), im_id=i)
+        res = ev.evaluate()
+        print(format_table(res))
+        rec = res["per_obj"]["cube"]
+        print(f"RESULT[{tag}] ad_10={rec['ad_10']:.1f} "
+              f"re_5={rec['re_5']:.1f} te_2={rec['te_2']:.1f} "
+              f"AUCad={rec['AUCad']:.1f}")
 
 
 if __name__ == "__main__":
