@@ -43,6 +43,21 @@ def setup_logging(output_dir: str) -> None:
     )
 
 
+def auto_output_dir(config_file: str) -> str:
+    """``train.output_dir="auto"`` derives the run dir from the config path
+    (reference main_gdrn.py:44-46), including any ``:variant`` suffix:
+    ``configs/so.py:tudl/can`` -> ``output/so/tudl/can``."""
+    path, _, variant = config_file.partition(":")
+    rel = os.path.splitext(path)[0]
+    # keep only the part after the last "configs/" (absolute config paths
+    # must not escape the output/ prefix), then force it relative
+    _, sep, tail = rel.rpartition("configs" + os.sep)
+    rel = tail if sep else os.path.basename(rel)
+    rel = rel.lstrip(os.sep)
+    return os.path.join("output", rel, variant) if variant \
+        else os.path.join("output", rel)
+
+
 def main(argv=None):
     args = parse_args(argv)
     from .config import load_config
@@ -53,6 +68,9 @@ def main(argv=None):
     from .parallel import create_mesh
 
     cfg = load_config(args.config_file, args.opts)
+    if cfg.train.output_dir == "auto":
+        cfg = cfg.apply_opts(
+            [f'train.output_dir="{auto_output_dir(args.config_file)}"'])
     setup_logging(cfg.train.output_dir)
     logger = logging.getLogger("rdpn6d")
     cfg.dump(os.path.join(cfg.train.output_dir, "config.json"))

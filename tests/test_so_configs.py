@@ -42,6 +42,17 @@ def test_unknown_variant_fails_fast():
         load_config("configs/so.py:tudl/ape")
 
 
+def test_auto_output_dir():
+    from rdpn6d_tpu.main import auto_output_dir
+    assert auto_output_dir("configs/lm13.py") == "output/lm13"
+    assert auto_output_dir("configs/so.py:tudl/can") == "output/so/tudl/can"
+    assert auto_output_dir("exp.py") == "output/exp"
+    # absolute config paths must not escape the output/ prefix
+    assert auto_output_dir("/root/repo/configs/so.py:tudl/can") \
+        == "output/so/tudl/can"
+    assert auto_output_dir("/abs/exp.py") == "output/exp"
+
+
 def test_variant_suffix_only_split_when_path_missing(tmp_path):
     # a real path containing ':' would not be split
     p = tmp_path / "weird:name.py"
