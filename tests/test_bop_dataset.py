@@ -96,6 +96,17 @@ def test_records_and_loader(tiny_bop_dataset, monkeypatch):
     assert batch["rgb"].shape == (2, 480, 640, 3)
     assert batch["gt_rot"].shape == (2, 3, 3)
 
+    # the thread-pool decode preserves sampler order: same seed -> the
+    # same batches regardless of worker count
+    it1 = train_frame_iterator(cfg, "tiny_train_reg", decoder=decoder,
+                               batch_size=2, seed=7, num_workers=1)
+    it8 = train_frame_iterator(cfg, "tiny_train_reg", decoder=decoder,
+                               batch_size=2, seed=7, num_workers=8)
+    for _ in range(3):
+        b1, b8 = next(it1), next(it8)
+        np.testing.assert_array_equal(b1["rgb"], b8["rgb"])
+        np.testing.assert_array_equal(b1["gt_rot"], b8["gt_rot"])
+
 
 def test_ycb_style_records(tmp_path, monkeypatch):
     """MP6D/YCB-Video layout: -color/-depth/-label pngs + -meta.mat."""
