@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-devices", type=int, default=0,
                    help="0 = all visible devices")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of the "
+                        "training loop into <output_dir>/profile "
+                        "(view with tensorboard)")
     p.add_argument("--opts", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -147,9 +151,18 @@ def main(argv=None):
                 run_eval(cfg, ckpt_dir="", split_name=test_split,
                          state=state, model=model)
 
-    trainer.train(device_batches(split), start_iter=start,
-                  loader2=loader2, train2_ratio=cfg.data.train2_ratio,
-                  eval_fn=eval_fn)
+    if args.profile:
+        from .utils.profiling import trace
+
+        with trace(os.path.join(cfg.train.output_dir, "profile")):
+            trainer.train(device_batches(split), start_iter=start,
+                          loader2=loader2,
+                          train2_ratio=cfg.data.train2_ratio,
+                          eval_fn=eval_fn)
+    else:
+        trainer.train(device_batches(split), start_iter=start,
+                      loader2=loader2, train2_ratio=cfg.data.train2_ratio,
+                      eval_fn=eval_fn)
     logger.info("training complete")
 
 
