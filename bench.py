@@ -114,7 +114,12 @@ def main() -> None:
     for bs in (128, 256, 384):
         try:
             pps, fpp = _measure(model, variables, bs, cfg)
-        except Exception:  # OOM at the top of the sweep: keep best so far
+        except Exception as e:
+            # tolerate ONLY an OOM at the top of the sweep (keep the best
+            # smaller batch); anything else — or a first-size failure —
+            # must surface, not print value 0.0 with exit 0
+            if best == 0.0 or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
             break
         if pps > best:
             best_bs, best, best_fpp = bs, pps, fpp

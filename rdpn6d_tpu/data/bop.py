@@ -12,6 +12,7 @@ test records stay per-image with all instances.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import pickle
 from dataclasses import dataclass
@@ -25,6 +26,8 @@ from .inout import (
     load_scene_gt_info,
 )
 from .refs import DatasetRef, get_ref
+
+logger = logging.getLogger("rdpn6d.bop")
 
 
 @dataclass(frozen=True)
@@ -114,7 +117,12 @@ def _ycb_style_plan(split: Split,
     """
     if split.index_file:
         idx = os.path.join(ref.root, split.index_file)
-        if os.path.exists(idx):
+        if not os.path.exists(idx):
+            logger.warning(
+                f"{split.name}: declared index_file {idx} is missing — "
+                f"falling back to ALL images of scenes {split.scene_ids}; "
+                f"results will NOT follow the benchmark protocol")
+        else:
             plan = []
             for ln in _read_index_lines(idx):
                 parts = ln.split("/")
@@ -231,6 +239,10 @@ def _scene_plan(split: Split,
             return [(sid, ims, None)
                     for sid, ims in sorted(by_scene.items())]
         # fall through: trees without image_sets/ use the full scene list
+        logger.warning(
+            f"{split.name}: declared index_file {idx} is missing — "
+            f"falling back to ALL images of scenes {split.scene_ids}; "
+            f"results will NOT follow the benchmark protocol")
     return [(sid, None, None) for sid in split.scene_ids]
 
 
@@ -590,12 +602,15 @@ def _register_defaults() -> None:
                              scene_ids=tuple(range(48, 60)),
                              index_file="image_sets/keyframe.txt",
                              filter_invalid=False))
-    # per-object MP6D SO splits (reference mp6d.py:468-515)
+    # per-object MP6D SO splits (reference mp6d.py:468-515): the same
+    # train/test index lists as the full splits, restricted to one object
     for obj in MP6D.objects:
         register_split(Split(f"mp6d_{obj}_train", "mp6d", "data",
-                             objs=(obj,), scene_ids=tuple(range(1, 21))))
+                             objs=(obj,), scene_ids=tuple(range(0, 21)),
+                             index_file="image_set/train_data_list.txt"))
         register_split(Split(f"mp6d_{obj}_test", "mp6d", "data",
-                             objs=(obj,), scene_ids=tuple(range(1, 21)),
+                             objs=(obj,), scene_ids=tuple(range(0, 21)),
+                             index_file="image_set/test_data_list.txt",
                              filter_invalid=False))
     # per-object SO splits for the remaining BOP datasets (reference
     # configs/gdrn/{lmo,tless,tudl,itodd,icbin,hb}SO dataset names:

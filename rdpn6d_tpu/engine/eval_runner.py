@@ -129,7 +129,15 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     from ..data.loader import _imread_depth, _imread_mask, _imread_rgb
     from ..data.pipeline import preprocess_rois_grouped
 
-    max_frames = max(batch_size // 4, 1)
+    # frames-per-batch sized to the split's instance density, so
+    # single-instance datasets (LM/TUDL: 1 ROI/frame) fill whole batches
+    # while cluttered ones (YCB-V: ~5 ROIs/frame) don't pad frame
+    # transfers; ONE compiled shape either way
+    n_frames_total = max(
+        len({(r["scene_id"], r["im_id"]) for r in records}), 1)
+    inst_per_frame = max(len(records) / n_frames_total, 1.0)
+    max_frames = int(min(batch_size,
+                         max(1, round(batch_size / inst_per_frame))))
 
     def fused_step(state, frames, rois, roi_cls):
         batch = preprocess_rois_grouped(cfg, frames, rois, key,
@@ -148,8 +156,16 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
             return np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]],
                             np.float32) if rec.get(
                 "bbox_mode", "xywh") == "xywh" and b.shape[0] == 4 else b
-        m = _imread_mask(rec.get("mask_visib_path", "")) \
-            if rec.get("mask_visib_path") else None
+        m = None
+        if rec.get("mask_visib_path"):
+            m = _imread_mask(rec["mask_visib_path"])
+        if m is None and rec.get("label_path"):
+            # YCB-style class-id label image (MP6D): mask = label == obj_id
+            # (same derivation the training decoder uses, loader.py:111-117)
+            import cv2
+            lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
+            if lab is not None:
+                m = (lab == rec["label_obj_id"]).astype(np.uint8)
         if m is None or not m.any():
             return None
         ys, xs = np.nonzero(m)
@@ -179,7 +195,8 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
             if fkey not in fmap and (len(frames_l) == max_frames
                                      or len(rois_l) == batch_size) \
                     or fkey in fmap and len(rois_l) == batch_size:
-                yield _flush(frames_l, rois_l, meta)
+                if meta:  # all-skipped accumulations just reset
+                    yield _flush(frames_l, rois_l, meta)
                 frames_l, rois_l, meta, fmap = [], [], [], {}
             if fkey not in fmap:
                 try:
@@ -205,7 +222,10 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                 "bbox": bbox,
                 "fps": a["fps"].astype(np.float32),
                 "extent": a["extent"].astype(np.float32),
-                "roi_cls": np.int32(assets.obj_ids.index(rec["obj_id"])),
+                # the FULL-ref class index, exactly what the training
+                # decoder feeds (loader cls_idx) — the subset-asset index
+                # would desync class-aware head gathers on partial splits
+                "roi_cls": np.int32(rec["cls_idx"]),
             })
             meta.append({
                 "obj_name": id2name[rec["obj_id"]],
@@ -320,16 +340,16 @@ def coord_regression_eval(cfg: Config, ckpt_dir: str, split_name: str,
                 continue
         if not samples:
             continue
+        n_real = len(samples)  # decode failures shrink the chunk
         while len(samples) < batch_size:
             samples.append(samples[-1])
-        pad = batch_size - len(chunk)
         stacked = {k: jnp.asarray(np.stack([s[k] for s in samples]))
                    for k in samples[0]}
         err, cnt = step(state, stacked)
-        sl = slice(0, batch_size - pad)
+        sl = slice(0, n_real)
         tot_err += float(np.asarray(err)[sl].sum())
         tot_cnt += float(np.asarray(cnt)[sl].sum())
-        n += len(chunk)
+        n += n_real
     l1 = tot_err / max(tot_cnt, 1.0)
     logger.info(f"coord regression debug [{split_name}]: masked L1 = "
                 f"{l1:.5f} over {n} instances")

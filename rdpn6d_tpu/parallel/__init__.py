@@ -1,6 +1,13 @@
 """SPMD mesh + train/eval steps (replaces the reference's DDP/NCCL stack)."""
 
-from .mesh import batch_sharding, create_mesh, replicate, replicated, shard_batch
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    gather_predictions,
+    replicate,
+    replicated,
+    shard_batch,
+)
 from .train_step import (
     TrainState,
     create_train_state,
@@ -10,7 +17,8 @@ from .train_step import (
 )
 
 __all__ = [
-    "batch_sharding", "create_mesh", "replicate", "replicated", "shard_batch",
+    "batch_sharding", "create_mesh", "gather_predictions",
+    "replicate", "replicated", "shard_batch",
     "TrainState", "create_train_state", "make_eval_step",
     "make_sharded_train_step", "make_train_step",
 ]

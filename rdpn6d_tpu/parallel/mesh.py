@@ -59,10 +59,24 @@ def gather_predictions(local_preds: list[Any]) -> list[Any]:
     """
     if jax.process_count() == 1:
         return local_preds
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(local_preds)
+    # pickle-gather (the reference's comm.all_gather pickles too):
+    # prediction chunks carry object-dtype string arrays that raw
+    # process_allgather cannot ship. Pad payloads to the max length so
+    # every host contributes the same shape.
+    payload = np.frombuffer(pickle.dumps(local_preds), np.uint8)
+    n = payload.shape[0]
+    lens = multihost_utils.process_allgather(np.array([n], np.int64))
+    max_len = int(np.max(lens))
+    padded = np.zeros(max_len, np.uint8)
+    padded[:n] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    lens = np.asarray(lens).reshape(-1)
     out: list[Any] = []
-    for chunk in gathered:
-        out.extend(chunk if isinstance(chunk, list) else [chunk])
+    for host, ln in zip(np.asarray(gathered), lens):
+        preds = pickle.loads(host[:int(ln)].tobytes())
+        out.extend(preds if isinstance(preds, list) else [preds])
     return out

@@ -199,3 +199,69 @@ def test_run_eval_est_dets_from_config(full_dataset, monkeypatch, tmp_path):
     rec = result["per_obj"]["ape"]
     assert any(abs(rec["ad_10"] - v) < 1e-6
                for v in (0.0, 100 / 3, 200 / 3, 100.0))
+
+
+def test_run_eval_mp6d_ycb_style(tmp_path, monkeypatch):
+    """YCB-style (MP6D) eval: bboxes must be derived from the -label.png
+    class-id images (there is no scene_gt_info/mask_visib tree), and the
+    grouped eval path must produce predictions rather than skipping every
+    instance (round-2 regression)."""
+    import cv2
+    from scipy.io import savemat
+
+    root = tmp_path / "bopy"
+    sdir = root / "mp6d" / "data" / "0001"
+    sdir.mkdir(parents=True)
+    mdir = root / "mp6d" / "models"
+    write_cube_ply(str(mdir / "obj_000003.ply"))
+    info = {"3": {"diameter": 100 * np.sqrt(3), "size_x": 100.0,
+                  "size_y": 100.0, "size_z": 100.0}}
+    (mdir / "models_info.json").write_text(json.dumps(info))
+
+    K = np.array([[567.5, 0, 312.7], [0, 569.4, 257.2], [0, 0, 1]])
+    rng = np.random.RandomState(5)
+    for im_id in range(2):
+        R = cv2.Rodrigues(rng.randn(3) * 0.4)[0]
+        t = np.array([0.01, 0.02, 0.6])
+        depth, _ = render_cube_depth(R.astype(np.float32),
+                                     t.astype(np.float32),
+                                     K.astype(np.float32), 480, 640)
+        label = (depth > 0).astype(np.uint8) * 3
+        cv2.imwrite(str(sdir / f"{im_id:06d}-color.png"),
+                    np.dstack([label * 80] * 3))
+        cv2.imwrite(str(sdir / f"{im_id:06d}-depth.png"),
+                    (depth * 1000).astype(np.uint16))
+        cv2.imwrite(str(sdir / f"{im_id:06d}-label.png"), label)
+        savemat(str(sdir / f"{im_id:06d}-meta.mat"), {
+            "cls_indexes": np.array([[3]]),
+            "poses": np.dstack([np.hstack([R, t[:, None] * 1000.0])]),
+            "intrinsic_matrix": K,
+            "factor_depth": np.array([[1.0]]),
+        })
+
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(root))
+    register_split(Split("mp6d_tiny_eval", "mp6d", "data", scene_ids=(1,),
+                         filter_invalid=False))
+
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+        'test.error_types="ad,adi,AUCad,re,te"',
+        f'train.output_dir="{tmp_path}"',
+    ])
+
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.engine.eval_runner import run_eval
+    from rdpn6d_tpu.models import RDPN
+
+    model = RDPN(cfg, dtype=jnp.float32)
+    result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      split_name="mp6d_tiny_eval", batch_size=2,
+                      model=model, csv_path=str(tmp_path / "mp6d.csv"))
+    # both instances must have been evaluated, not skipped
+    assert result["stats"]["n_rois"] == 2
+    assert "obj_03" in result["per_obj"]
+    csv = (tmp_path / "mp6d.csv").read_text().strip().splitlines()
+    assert len(csv) == 3  # header + 2 estimates
