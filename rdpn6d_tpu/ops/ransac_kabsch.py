@@ -8,8 +8,9 @@ correspondences, so the natural solver is Kabsch (orthogonal Procrustes),
 which is far better posed than EPnP from 2D-3D and maps perfectly to TPU:
 
   * fixed iteration count, branchless hypothesis scoring (no data-dependent
-    control flow);
-  * every hypothesis is a 3x3 SVD — batched and vmapped;
+    control flow) in matmul form on the MXU;
+  * hypothesis fits via Horn's quaternion method (matrix squaring, no
+    SVD); one SVD-based weighted refit per ROI at the end;
   * correspondence sampling via Gumbel top-k over the foreground mask.
 
 The RDPN twist: the coordinate head predicts GT-ROTATED FPS-residuals
@@ -58,6 +59,68 @@ def kabsch(src: jax.Array, dst: jax.Array,
     return R, t
 
 
+def kabsch_quat(src: jax.Array, dst: jax.Array,
+                weights: jax.Array | None = None,
+                n_iters: int = 14,
+                eps: float = 1e-9) -> tuple[jax.Array, jax.Array]:
+    """Horn's quaternion closed-form rigid fit, SVD-free.
+
+    Same contract as :func:`kabsch`, but the rotation is the dominant
+    eigenvector of Horn's symmetric 4x4 K matrix, driven out by a fixed
+    number of matrix squarings — branchless, trivially batched,
+    and far cheaper on TPU than XLA's iterative small-matrix SVD. Always
+    a proper rotation (no reflection correction needed). Used for the
+    RANSAC hypothesis fits where thousands of tiny solves dominate;
+    :func:`kabsch` (SVD) remains for the one final refit per ROI.
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    w = weights[..., None]
+    wsum = jnp.sum(w, axis=-2) + eps
+    c_src = jnp.sum(src * w, axis=-2) / wsum
+    c_dst = jnp.sum(dst * w, axis=-2) / wsum
+    a = src - c_src[..., None, :]
+    b = dst - c_dst[..., None, :]
+    H = jnp.einsum("...ni,...n,...nj->...ij", a, weights, b)
+    # Horn's K (src->dst convention): quaternion q maximizing q^T K q
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    K = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+        jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+        jnp.stack([Szx - Sxz, Sxy + Syx, Syy - Sxx - Szz, Syz + Szy], -1),
+        jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, Szz - Sxx - Syy], -1),
+    ], -2)                                               # [..., 4, 4]
+    # shift so ALL eigenvalues are >= 0 (|lambda| <= ||K||_F), then drive
+    # to the dominant eigenvector by repeated matrix squaring: after k
+    # squarings M ~ lambda_max^(2^k) q q^T, so ANY non-degenerate column
+    # is the quaternion — much faster convergence than power iteration
+    # when the spectral gap is small (near-coplanar hypothesis samples)
+    fro = jnp.sqrt(jnp.sum(K * K, axis=(-2, -1), keepdims=True)) + eps
+    M = K / fro + jnp.eye(4, dtype=K.dtype)              # spectrum in [0,2]
+    for _ in range(n_iters):
+        M = M @ M
+        M = M / (jnp.sqrt(jnp.sum(M * M, axis=(-2, -1),
+                                  keepdims=True)) + eps)
+    col_norm = jnp.sqrt(jnp.sum(M * M, axis=-2))         # [..., 4]
+    j = jnp.argmax(col_norm, axis=-1)
+    q = jnp.take_along_axis(M, j[..., None, None].repeat(4, -2),
+                            axis=-1)[..., 0]             # [..., 4]
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + eps)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+                   2 * (qx * qz + qw * qy)], -1),
+        jnp.stack([2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz - qw * qx)], -1),
+        jnp.stack([2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+                   1 - 2 * (qx * qx + qy * qy)], -1),
+    ], -2)
+    t = c_dst - jnp.einsum("...ij,...j->...i", R, c_src)
+    return R, t
+
+
 @partial(jax.jit, static_argnames=("num_hyps", "sample_size"))
 def ransac_kabsch(model_pts: jax.Array, cam_pts: jax.Array,
                   mask: jax.Array, key: jax.Array,
@@ -77,12 +140,26 @@ def ransac_kabsch(model_pts: jax.Array, cam_pts: jax.Array,
     _, idx = jax.lax.top_k(g, sample_size)               # [H, S]
     src = model_pts[idx]                                 # [H, S, 3]
     dst = cam_pts[idx]
-    R_h, t_h = kabsch(src, dst)                          # [H, 3, 3], [H, 3]
+    R_h, t_h = kabsch_quat(src, dst)                     # [H, 3, 3], [H, 3]
 
-    # branchless scoring against ALL masked correspondences
-    pred = jnp.einsum("hij,nj->hni", R_h, model_pts) + t_h[:, None, :]
-    d = jnp.linalg.norm(pred - cam_pts[None], axis=-1)   # [H, N]
-    inl = (d < inlier_thr) & (mask[None] > 0)
+    # branchless scoring against ALL masked correspondences, in matmul
+    # form: d^2_hn = |R_h m_n + t_h - c_n|^2 expands to terms that are all
+    # [H,9]@[9,N] / [H,3]@[3,N] MXU matmuls — the naive einsum
+    # materializes a [H,N,3] intermediate (HBM-bound at vmapped batch
+    # sizes)
+    m2 = jnp.sum(model_pts * model_pts, axis=-1)         # [N]
+    c2 = jnp.sum(cam_pts * cam_pts, axis=-1)             # [N]
+    outer = (cam_pts[:, :, None]
+             * model_pts[:, None, :]).reshape(n, 9)      # [N, 9] c m^T
+    vecR = R_h.reshape(num_hyps, 9)                      # [H, 9]
+    cross = vecR @ outer.T                               # [H, N] m^T R^T c
+    Rt_t = jnp.einsum("hji,hj->hi", R_h, t_h)            # [H, 3] R^T t
+    t2 = jnp.sum(t_h * t_h, axis=-1)                     # [H]
+    d2 = (m2[None] + c2[None] + t2[:, None]
+          + 2.0 * (Rt_t @ model_pts.T)                   # 2 t.(R m)
+          - 2.0 * cross                                  # -2 c.(R m)
+          - 2.0 * (t_h @ cam_pts.T))                     # -2 t.c
+    inl = (d2 < inlier_thr * inlier_thr) & (mask[None] > 0)
     score = jnp.sum(inl, axis=-1)
     best = jnp.argmax(score)
 

@@ -73,3 +73,34 @@ def test_ransac_respects_mask():
         jax.random.PRNGKey(1), num_hyps=32)
     np.testing.assert_allclose(np.asarray(R_est), R, atol=1e-3)
     np.testing.assert_allclose(np.asarray(t_est), t, atol=1e-3)
+
+
+def test_kabsch_quat_matches_svd_kabsch():
+    """Horn quaternion fit (matrix-squaring eigensolver) must agree with
+    the SVD Kabsch on noisy minimal 4-point sets — the RANSAC hypothesis
+    regime where it replaces 32k tiny SVDs per eval batch."""
+    import numpy as np
+
+    from rdpn6d_tpu.ops.ransac_kabsch import kabsch, kabsch_quat
+
+    rng = np.random.RandomState(0)
+    worst_r = worst_t = 0.0
+    for _ in range(100):
+        A = rng.randn(3, 3)
+        U, _, Vt = np.linalg.svd(A)
+        R = U @ Vt
+        if np.linalg.det(R) < 0:
+            R = U @ np.diag([1, 1, -1]) @ Vt
+        t = rng.randn(3) * 0.3
+        src = rng.randn(4, 3) * 0.05
+        dst = (R @ src.T).T + t + rng.randn(4, 3) * 1e-4
+        R1, t1 = kabsch(jnp.asarray(src), jnp.asarray(dst))
+        R2, t2 = kabsch_quat(jnp.asarray(src), jnp.asarray(dst))
+        worst_r = max(worst_r, float(np.abs(np.asarray(R1)
+                                            - np.asarray(R2)).max()))
+        worst_t = max(worst_t, float(np.abs(np.asarray(t1)
+                                            - np.asarray(t2)).max()))
+        # always a proper rotation
+        R2n = np.asarray(R2, np.float64)
+        assert abs(np.linalg.det(R2n) - 1.0) < 1e-4
+    assert worst_r < 2e-3 and worst_t < 2e-4, (worst_r, worst_t)
