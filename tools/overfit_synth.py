@@ -80,6 +80,9 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="also evaluate the trained weights through the "
                         "W8A8 int8 serving mode (models/quant.py)")
+    p.add_argument("--kabsch", action="store_true",
+                   help="also evaluate with the on-device RANSAC-Kabsch "
+                        "geometric refinement (ops/ransac_kabsch.py)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -116,13 +119,15 @@ def main():
 
     state = trainer.train(loader(), start_iter=0)
 
-    modes = [("bf16", model)]
+    modes = [("bf16", model, False)]
+    if args.kabsch:
+        modes.append(("bf16+kabsch", model, True))
     if args.int8:
         for gran in ("all", "trunk", "head"):
             modes.append((f"int8-{gran}",
-                          RDPN(cfg, dtype=model.dtype, int8=gran)))
-    for tag, eval_model in modes:
-        eval_step = make_eval_step(cfg, eval_model)
+                          RDPN(cfg, dtype=model.dtype, int8=gran), False))
+    for tag, eval_model, use_kabsch in modes:
+        eval_step = make_eval_step(cfg, eval_model, use_kabsch=use_kabsch)
         out = eval_step(state, batch)
         ev = PoseEvaluator(models={"cube": model_pts},
                            diameters={"cube": float(0.1 * np.sqrt(3))},
