@@ -330,3 +330,52 @@ def test_mp6d_index_file_protocol(tmp_path, monkeypatch):
     assert recs[0]["t"][2] == pytest.approx(0.6)
     syn = [r for r in recs if r["scene_id"] == 78][0]
     assert syn["t"][2] == pytest.approx(0.8)
+
+
+def test_mp6d_so_splits_use_index_files(tmp_path, monkeypatch):
+    """Per-object MP6D SO splits must follow the same train/test index
+    lists as the full splits — NOT glob all scene images (which made SO
+    test == SO train; round-2 regression)."""
+    import cv2
+    from scipy.io import savemat
+
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(tmp_path))
+    root = tmp_path / "mp6d"
+    K = np.array([[567.5, 0, 312.7], [0, 569.4, 257.2], [0, 0, 1]])
+
+    def write_im(base, objs):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        cv2.imwrite(base + "-color.png", np.zeros((4, 4, 3), np.uint8))
+        cv2.imwrite(base + "-depth.png", np.full((4, 4), 900, np.uint16))
+        cv2.imwrite(base + "-label.png", np.zeros((4, 4), np.uint8))
+        savemat(base + "-meta.mat", {
+            "cls_indexes": np.array([objs]),
+            "poses": np.dstack(
+                [np.hstack([np.eye(3), np.array([[0.0], [0.0], [600.0]])])
+                 for _ in objs]),
+            "intrinsic_matrix": K,
+            "factor_depth": np.array([[1.0]]),
+        })
+
+    # image 0 (train list): objs 3+5; image 5 (test list): obj 3;
+    # image 9: in NO list -> must appear nowhere
+    write_im(str(root / "data" / "0001" / "000000"), [3, 5])
+    write_im(str(root / "data" / "0001" / "000005"), [3])
+    write_im(str(root / "data" / "0001" / "000009"), [3])
+    (root / "image_set").mkdir()
+    (root / "image_set" / "train_data_list.txt").write_text(
+        "data/0001/000000\n")
+    (root / "image_set" / "test_data_list.txt").write_text(
+        "data/0001/000005\n")
+
+    from rdpn6d_tpu.data.bop import get_split
+
+    train = build_split_records(get_split("mp6d_obj_03_train"))
+    test = build_split_records(get_split("mp6d_obj_03_test"))
+    assert [(r["scene_id"], r["im_id"], r["obj_id"]) for r in train] \
+        == [(1, 0, 3)]  # obj 5 filtered out, im 5/9 not in train list
+    assert [(r["scene_id"], r["im_id"], r["obj_id"]) for r in test] \
+        == [(1, 5, 3)]
+    # train and test are disjoint
+    assert {(r["scene_id"], r["im_id"]) for r in train}.isdisjoint(
+        {(r["scene_id"], r["im_id"]) for r in test})
