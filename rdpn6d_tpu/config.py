@@ -119,7 +119,7 @@ class LossConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    dzi_type: str = "uniform"       # uniform | truncnorm | none
+    dzi_type: str = "uniform"       # uniform | roi10d | none
     dzi_pad_scale: float = 1.5
     dzi_scale_ratio: float = 0.25
     dzi_shift_ratio: float = 0.25

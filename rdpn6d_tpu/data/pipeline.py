@@ -34,7 +34,8 @@ def dzi_jitter(key: jax.Array, bbox_xyxy: jax.Array, im_hw: tuple[int, int],
                dzi_type: str = "uniform", pad_scale: float = 1.5,
                scale_ratio: float = 0.25, shift_ratio: float = 0.25,
                enable: bool = True) -> tuple[jax.Array, jax.Array]:
-    """Dynamic-zoom-in box jitter (base_data_loader.py:120-152, uniform mode).
+    """Dynamic-zoom-in box jitter (base_data_loader.py:120-152; uniform
+    and roi10d modes).
 
     bbox_xyxy [4] -> (center [2], scale []). ``enable=False`` gives the
     deterministic test-time box (center, max-side * pad_scale).
@@ -49,10 +50,27 @@ def dzi_jitter(key: jax.Array, bbox_xyxy: jax.Array, im_hw: tuple[int, int],
         center = jnp.stack([cx + bw * shift_ratio * r[1],
                             cy + bh * shift_ratio * r[2]])
         scale = side * s * pad_scale
+    elif enable and dzi_type == "roi10d":
+        # shift each corner by +-15% of the box side
+        # (base_data_loader.py:131-145)
+        r = jax.random.uniform(key, (4,), minval=-0.15, maxval=0.15)
+        nx1 = jnp.clip(x1 + bw * r[0], 0.0, float(im_hw[1]))
+        nx2 = jnp.clip(x2 + bw * r[1], 0.0, float(im_hw[1]))
+        ny1 = jnp.clip(y1 + bh * r[2], 0.0, float(im_hw[0]))
+        ny2 = jnp.clip(y2 + bh * r[3], 0.0, float(im_hw[0]))
+        center = jnp.stack([0.5 * (nx1 + nx2), 0.5 * (ny1 + ny2)])
+        scale = jnp.maximum(ny2 - ny1, nx2 - nx1) * pad_scale
+    elif enable and dzi_type not in ("none", ""):
+        # the reference raises on truncnorm too (base_data_loader.py:146);
+        # dzi_type is a static string, so this raises at trace time
+        raise NotImplementedError(f"DZI type {dzi_type!r} not implemented "
+                                  "(use uniform | roi10d | none)")
     else:
         center = jnp.stack([cx, cy])
         scale = side * pad_scale
-    scale = jnp.minimum(scale, float(max(im_hw)))
+    # clamp: frame-size above, >=1 px below (a degenerate detection box
+    # must not produce scale=0 -> inf resize_ratio -> NaN poses)
+    scale = jnp.clip(scale, 1.0, float(max(im_hw)))
     return center, scale
 
 
@@ -99,8 +117,11 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     input_res, out_res = d.input_res, d.out_res
     H, W = sample["rgb"].shape[0], sample["rgb"].shape[1]
 
+    # independent streams per consumer — a key must never be both used
+    # and re-split
+    k_dzi, k_aug, k_on = jax.random.split(key, 3)
     center, scale = dzi_jitter(
-        key, sample["bbox"], (H, W), d.dzi_type, d.dzi_pad_scale,
+        k_dzi, sample["bbox"], (H, W), d.dzi_type, d.dzi_pad_scale,
         d.dzi_scale_ratio, d.dzi_shift_ratio, enable=train)
     bw = jnp.maximum(sample["bbox"][2] - sample["bbox"][0], 1.0)
     bh = jnp.maximum(sample["bbox"][3] - sample["bbox"][1], 1.0)
@@ -108,7 +129,6 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
 
     # RGB crop + color aug + pixel normalization -----------------------
     # (matmul resampling: 16x faster than gathers on TPU, see ops/warp.py)
-    key, k_aug, k_on = jax.random.split(key, 3)
     rgb = crop_resize_mm(sample["rgb"], center, scale, input_res)
     if train and d.color_aug_prob > 0:
         from .augment import DEFAULT_AUG, color_augment
@@ -154,22 +174,24 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     if not train:
         return out
 
-    # masks (nearest, data_loader.py:846-866) --------------------------
+    # masks + xyz (nearest, data_loader.py:846-866): ONE stacked crop —
+    # separate crop_resize calls each rebuild the coordinate grid and
+    # issue an independent gather over the full frame, and XLA does not
+    # dedupe them
     xyz_full = sample["xyz"]
     mask_obj = ((xyz_full[..., 0] != 0) | (xyz_full[..., 1] != 0)
                 | (xyz_full[..., 2] != 0)).astype(jnp.float32)
     mask_visib = sample["mask_visib"] * mask_obj
-    roi_mask_visib = crop_resize(mask_visib, center, scale, out_res,
-                                 "nearest")
-    roi_mask_obj = crop_resize(mask_obj, center, scale, out_res, "nearest")
+    planes = [mask_visib[..., None], mask_obj[..., None], xyz_full]
     if "mask_trunc" in sample:  # host truncation aug (loader)
-        roi_mask_trunc = crop_resize(sample["mask_trunc"] * mask_obj,
-                                     center, scale, out_res, "nearest")
-    else:
-        roi_mask_trunc = roi_mask_visib
-
-    # xyz crop -> region + coordinate target ---------------------------
-    roi_xyz_raw = crop_resize(xyz_full, center, scale, out_res, "nearest")
+        planes.append((sample["mask_trunc"] * mask_obj)[..., None])
+    stacked = crop_resize(jnp.concatenate(planes, axis=-1), center, scale,
+                          out_res, "nearest")
+    roi_mask_visib = stacked[..., 0]
+    roi_mask_obj = stacked[..., 1]
+    roi_xyz_raw = stacked[..., 2:5]
+    roi_mask_trunc = stacked[..., 5] if "mask_trunc" in sample \
+        else roi_mask_visib
     if cfg.head.coord_residual:
         # RDPN: region + GT-rotated FPS residual (data_loader.py:874-903)
         region, coord = residual_coord_target(
@@ -232,6 +254,15 @@ def preprocess_rois_grouped(cfg: Config, frames: dict[str, jax.Array],
     once per ROI (test images carry ~5 instances on YCB-V; the reference
     pays the copy per ROI in its collate, engine_utils.py:66-99).
     """
+    if train and any(k in frames for k in ("xyz", "mask_visib",
+                                           "mask_trunc")):
+        # per-INSTANCE GT maps cannot live on the shared frame axis: two
+        # ROIs of different objects in one frame would silently share one
+        # instance's xyz/mask targets. Train batches must keep GT maps
+        # per ROI (preprocess_batch) — this path is for inference inputs.
+        raise ValueError(
+            "preprocess_rois_grouped(train=True) with per-instance GT "
+            "maps on the frame axis; pass GT maps per ROI instead")
     n = rois["frame_idx"].shape[0]
     keys = jax.random.split(key, n)
 

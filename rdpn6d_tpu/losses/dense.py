@@ -73,7 +73,12 @@ def region_loss(region_logits: jax.Array, gt_region: jax.Array,
 
     region_logits [B,H,W,K+1]; gt_region [B,H,W] int in 0..K (0 = bg);
     mask [B,H,W] region-loss mask. Mirrors GDRN.py:467-483 including
-    ``loss_region_my`` = L1(visib_mask, region_channel_0).
+    ``loss_region_my`` = L1(visib_mask, region_channel_0) on the RAW
+    logit, exactly as the reference (GDRN.py:478 applies no sigmoid).
+    Masking: the reference multiplies the LOGITS by the mask, which
+    gives identical gradients to masking the per-pixel CE (zeroed logits
+    contribute a parameter-independent log(K+1) constant); we mask the
+    CE so the logged value excludes that offset.
     """
     denom = jnp.clip(jnp.sum(mask), 1.0, None)
     ce = optax.softmax_cross_entropy_with_integer_labels(

@@ -191,3 +191,53 @@ def test_grouped_preprocess_matches_stacked(processed):
     np.testing.assert_allclose(np.asarray(out_g["roi_coord_2d"]),
                                np.asarray(out_s["roi_coord_2d"]),
                                atol=1e-5)
+
+
+def test_dzi_degenerate_bbox_no_nan():
+    """A zero-area detection box must not produce scale=0 -> NaN crops
+    (scale is clamped to >= 1 px)."""
+    from rdpn6d_tpu.data.pipeline import dzi_jitter
+
+    key = jax.random.PRNGKey(0)
+    bbox = jnp.asarray([100.0, 50.0, 100.0, 50.0])  # x2==x1, y2==y1
+    for enable in (True, False):
+        center, scale = dzi_jitter(key, bbox, (480, 640), "uniform", 1.5,
+                                   0.25, 0.25, enable=enable)
+        assert float(scale) >= 1.0
+        assert np.isfinite(np.asarray(center)).all()
+
+
+def test_dzi_roi10d_and_unknown_type():
+    from rdpn6d_tpu.data.pipeline import dzi_jitter
+
+    key = jax.random.PRNGKey(1)
+    bbox = jnp.asarray([100.0, 50.0, 200.0, 150.0])
+    center, scale = dzi_jitter(key, bbox, (480, 640), "roi10d", 1.5,
+                               0.25, 0.25, enable=True)
+    # jittered box stays in frame; scale within +-30% of side*pad
+    assert 100.0 * 0.7 * 1.5 <= float(scale) <= 100.0 * 1.3 * 1.5
+    assert 0 <= float(center[0]) <= 640 and 0 <= float(center[1]) <= 480
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        dzi_jitter(key, bbox, (480, 640), "truncnorm", 1.5, 0.25, 0.25,
+                   enable=True)
+
+
+def test_grouped_train_with_frame_gt_maps_rejected():
+    from rdpn6d_tpu.data.pipeline import preprocess_rois_grouped
+    from rdpn6d_tpu.config import Config as _Cfg
+
+    cfg = _Cfg().apply_opts(["data.input_res=64", "data.out_res=16"])
+    frames = {"rgb": jnp.zeros((1, 64, 64, 3)),
+              "depth": jnp.zeros((1, 64, 64)),
+              "K": jnp.eye(3)[None],
+              "xyz": jnp.zeros((1, 64, 64, 3))}
+    rois = {"frame_idx": jnp.zeros((2,), jnp.int32),
+            "bbox": jnp.asarray([[1.0, 1.0, 30.0, 30.0]] * 2),
+            "fps": jnp.zeros((2, 32, 3)),
+            "extent": jnp.ones((2, 3))}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="per-instance GT"):
+        preprocess_rois_grouped(cfg, frames, rois, jax.random.PRNGKey(0),
+                                train=True)
