@@ -21,20 +21,26 @@ from typing import Any, Callable
 import numpy as np
 
 
-def greedy_match(errors: np.ndarray) -> list[tuple[int, int]]:
-    """errors [n_est, n_gt] -> greedy (est, gt) pairs by ascending error."""
+def match_poses_bop(errors: np.ndarray,
+                    thr_per_gt: np.ndarray) -> list[tuple[int, int]]:
+    """BOP-toolkit matching for ONE threshold (pose_matching.py:9-93).
+
+    errors [n_est, n_gt] with estimate rows ALREADY in descending-score
+    order; thr_per_gt [n_gt] absolute threshold per GT. Estimates are
+    processed in score order; each takes the unmatched GT with the lowest
+    sub-threshold error. Returns (est, gt) pairs.
+    """
     if errors.size == 0:
         return []
     pairs = []
-    used_e: set[int] = set()
-    used_g: set[int] = set()
-    order = np.dstack(np.unravel_index(np.argsort(errors, axis=None),
-                                       errors.shape))[0]
-    for e, g in order:
-        if e not in used_e and g not in used_g:
-            pairs.append((int(e), int(g)))
-            used_e.add(int(e))
-            used_g.add(int(g))
+    gt_used = np.zeros(errors.shape[1], bool)
+    for e in range(errors.shape[0]):
+        cand = np.where(~gt_used & (errors[e] < thr_per_gt))[0]
+        if cand.size == 0:
+            continue
+        g = int(cand[np.argmin(errors[e][cand])])
+        gt_used[g] = True
+        pairs.append((e, g))
     return pairs
 
 
@@ -60,7 +66,8 @@ def score_error_recalls(
     for e in estimates:
         est_by_key[(e["scene_id"], e["im_id"], e["obj_id"])].append(e)
 
-    n_correct = np.zeros(len(thresholds))
+    n_variants = None  # error_fn may return a vector (e.g. VSD per tau)
+    per_target = []
     n_total = 0
     for tgt in targets:
         key = (tgt["scene_id"], tgt["im_id"], tgt["obj_id"])
@@ -72,15 +79,27 @@ def score_error_recalls(
                       key=lambda e: -e.get("score", 1.0))[:n_inst]
         if not ests or not gt_list:
             continue
-        err = np.array([[error_fn(e, g) for g in gt_list] for e in ests])
-        for e_i, g_i in greedy_match(err):
+        err = np.array([[np.atleast_1d(error_fn(e, g)) for g in gt_list]
+                        for e in ests], np.float64)   # [E, G, V]
+        n_variants = err.shape[-1]
+        diam = np.array([g["diameter"] for g in gt_list]) \
+            if normalize_by_diameter else np.ones(len(gt_list))
+        per_target.append((err, diam))
+
+    n_variants = n_variants or 1
+    # BOP19 matching runs SEPARATELY per threshold (and per error variant):
+    # estimates in descending-score order each take the unmatched GT with
+    # the lowest sub-threshold error (pose_matching.py:9-93)
+    n_correct = np.zeros((n_variants, len(thresholds)))
+    for err, diam in per_target:
+        for v in range(err.shape[-1]):
             for t_i, thr in enumerate(thresholds):
-                thr_abs = thr * gt_list[g_i]["diameter"] \
-                    if normalize_by_diameter else thr
-                if err[e_i, g_i] < thr_abs:
-                    n_correct[t_i] += 1
-    recalls = n_correct / max(n_total, 1)
-    out = {f"recall@{t}": float(r) for t, r in zip(thresholds, recalls)}
+                n_correct[v, t_i] += len(
+                    match_poses_bop(err[..., v], thr * diam))
+    recalls = n_correct / max(n_total, 1)             # [V, T]
+    mean_per_thr = recalls.mean(axis=0)
+    out = {f"recall@{t}": float(r)
+           for t, r in zip(thresholds, mean_per_thr)}
     out["AR"] = float(np.mean(recalls))
     return out
 
@@ -89,23 +108,28 @@ def make_vsd_error_fn(meshes: dict[int, tuple[np.ndarray, np.ndarray]],
                       depth_loader: Callable[[int, int], np.ndarray],
                       diameters: dict[int, float],
                       delta: float = 15.0 / 1000.0,
-                      tau: float = 0.05) -> Callable[[dict, dict], float]:
+                      taus: tuple[float, ...] = tuple(
+                          float(t) for t in np.arange(0.05, 0.51, 0.05)),
+                      ) -> Callable[[dict, dict], np.ndarray]:
     """VSD error_fn for ``score_error_recalls`` / ``bop19_average_recalls``.
 
     meshes: {obj_id: (verts [V,3], faces [F,3])}; depth_loader returns the
-    scene test depth (m) for (scene_id, im_id). Renders est/gt with the
-    native rasterizer (the reference spawns a GL renderer inside
-    eval_calc_errors.py:189-196).
+    scene test depth (m) for (scene_id, im_id). Renders est/gt ONCE with
+    the native rasterizer (the reference spawns a GL renderer inside
+    eval_calc_errors.py:189-196) and returns the error VECTOR over the
+    BOP19 tau grid 0.05..0.5 — ``score_error_recalls`` averages recalls
+    over taus x thresholds, per the BOP19 definition.
     """
     from .bop_errors import vsd
 
-    def err(est: dict, gt: dict) -> float:
+    def err(est: dict, gt: dict) -> np.ndarray:
         depth = depth_loader(est["scene_id"], est["im_id"])
         v, f = meshes[gt["obj_id"]]
-        return vsd(np.asarray(est["R"]), np.asarray(est["t"]),
-                   np.asarray(gt["R"]), np.asarray(gt["t"]), depth,
-                   np.asarray(gt["K"]), v, f, delta=delta, taus=(tau,),
-                   diameter=diameters[gt["obj_id"]])[0]
+        return np.asarray(vsd(
+            np.asarray(est["R"]), np.asarray(est["t"]),
+            np.asarray(gt["R"]), np.asarray(gt["t"]), depth,
+            np.asarray(gt["K"]), v, f, delta=delta, taus=taus,
+            diameter=diameters[gt["obj_id"]]))
 
     return err
 

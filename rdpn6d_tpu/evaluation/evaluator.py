@@ -102,48 +102,64 @@ class PoseEvaluator:
     def compute_errors(self) -> dict[str, dict[str, np.ndarray]]:
         """Batched on-device error computation per object."""
         allp = self._consolidated()
-        if allp is None:
+        if allp is None and not self.n_gts:
             return {}
         out = {}
-        for obj in sorted(set(allp["obj"].tolist()),
-                          key=list(self.models).index):
-            m = allp["obj"] == obj
-            R_est = jnp.asarray(allp["R"][m])
-            t_est = jnp.asarray(allp["t"][m])
-            R_gt = jnp.asarray(allp["R_gt"][m])
-            t_gt = jnp.asarray(allp["t_gt"][m])
-            K = jnp.asarray(allp["K"][m])
-            pts = jnp.asarray(self.models[obj])[None]
+        # iterate over the UNION of predicted and GT objects: an object
+        # whose predictions are all missing must still get its inf-padded
+        # failure rows, or the MEAN silently skips it
+        pred_objs = set(allp["obj"].tolist()) if allp is not None else set()
+        objs = pred_objs | (set(self.n_gts) if self.n_gts else set())
+        for obj in sorted(objs, key=list(self.models).index):
+            m = (allp["obj"] == obj) if allp is not None \
+                else np.zeros(0, bool)
+            n_pred = int(m.sum())
+            if n_pred > 0:
+                R_est = jnp.asarray(allp["R"][m])
+                t_est = jnp.asarray(allp["t"][m])
+                R_gt = jnp.asarray(allp["R_gt"][m])
+                t_gt = jnp.asarray(allp["t_gt"][m])
+                K = jnp.asarray(allp["K"][m])
+                pts = jnp.asarray(self.models[obj])[None]
 
-            sym = self.sym_rots.get(obj)
-            is_sym = sym is not None and len(sym) > 1
-            if is_sym:
-                sym_b = jnp.asarray(sym)[None].repeat(R_est.shape[0], 0)
-                R_gt_closest = closest_rot(R_est, R_gt, sym_b)
-                ad_err = adi(R_est, t_est, R_gt, t_gt, pts)
+                sym = self.sym_rots.get(obj)
+                # identity-padded banks (geometry/symmetry.pad_symmetries)
+                # make every bank the same length — an object is symmetric
+                # only if some entry is a NON-identity rotation
+                is_sym = sym is not None and len(sym) > 1 and bool(
+                    np.any(np.abs(np.asarray(sym)
+                                  - np.eye(3)) > 1e-5))
+                add_err = np.asarray(add(R_est, t_est, R_gt, t_gt, pts))
+                adi_err = np.asarray(adi(R_est, t_est, R_gt, t_gt, pts))
+                if is_sym:
+                    sym_b = jnp.asarray(sym)[None].repeat(R_est.shape[0], 0)
+                    R_gt_closest = closest_rot(R_est, R_gt, sym_b)
+                else:
+                    R_gt_closest = R_gt
+
+                err = {
+                    "ad": adi_err if is_sym else add_err,
+                    "add": add_err,
+                    "adi": adi_err,
+                    "re": np.asarray(re_deg(R_est, R_gt_closest)),
+                    "te": np.asarray(te(t_est, t_gt)),
+                    "proj": np.asarray(proj_2d(R_est, t_est, R_gt_closest,
+                                               t_gt, pts, K)),
+                }
             else:
-                R_gt_closest = R_gt
-                ad_err = add(R_est, t_est, R_gt, t_gt, pts)
-
-            err = {
-                "ad": np.asarray(ad_err),
-                "add": np.asarray(add(R_est, t_est, R_gt, t_gt, pts)),
-                "adi": np.asarray(adi(R_est, t_est, R_gt, t_gt, pts)),
-                "re": np.asarray(re_deg(R_est, R_gt_closest)),
-                "te": np.asarray(te(t_est, t_gt)),
-                "proj": np.asarray(proj_2d(R_est, t_est, R_gt_closest, t_gt,
-                                           pts, K)),
-            }
+                err = {k: np.zeros(0, np.float32)
+                       for k in ("ad", "add", "adi", "re", "te", "proj")}
             # missing predictions count as failures: pad with +inf so every
             # recall threshold and AUC penalizes them
             # (gdrn_custom_evaluator.py:580-583)
             if self.n_gts is not None and not self.precision:
-                n_missing = self.n_gts.get(obj, 0) - int(m.sum())
+                n_missing = self.n_gts.get(obj, 0) - n_pred
                 if n_missing > 0:
                     err = {k: np.concatenate(
                         [v, np.full(n_missing, np.inf, v.dtype)])
                         for k, v in err.items()}
-            out[obj] = err
+            if err["ad"].size > 0:
+                out[obj] = err
         return out
 
     def evaluate(self) -> dict[str, Any]:

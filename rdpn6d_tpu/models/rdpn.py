@@ -54,8 +54,6 @@ class RDPN(nn.Module):
                  drop_scale=1.0):
         cfg = self.cfg
         head_cfg, pnp_cfg = cfg.head, cfg.pnp
-        out_res = head_cfg.out_res
-
         roi_img = batch["roi_img"]          # [B, 256, 256, 6] rgb+depth_xyz
         rgb = roi_img[..., :3].astype(self.dtype)
         depth_xyz = roi_img[..., 3:6]
@@ -73,7 +71,7 @@ class RDPN(nn.Module):
             feat = jax.lax.stop_gradient(feat)
             skip64 = None if skip64 is None else jax.lax.stop_gradient(skip64)
             skip32 = None if skip32 is None else jax.lax.stop_gradient(skip32)
-        B, h8, w8, c = feat.shape
+        B, h8, w8 = feat.shape[:3]
         # torch-exact resizes (reference: UpsamplingBilinear2d x4 +
         # F.interpolate nearest to 32x32, resnet_backbone.py:281,307)
         feat = upsample_bilinear_align_corners(feat, h8 * 4, w8 * 4)

@@ -1,18 +1,46 @@
-"""BOP localization scoring: greedy matching + recall goldens."""
+"""BOP localization scoring: toolkit matching + recall goldens."""
 
 import numpy as np
 
 from rdpn6d_tpu.evaluation.bop_score import (
     bop19_average_recalls,
-    greedy_match,
+    match_poses_bop,
     score_error_recalls,
 )
 
 
-def test_greedy_match_prefers_lowest():
+def test_match_poses_bop_score_order_and_threshold():
+    # rows already in descending score order; each estimate takes the
+    # unmatched GT with the lowest sub-threshold error
     errors = np.array([[0.5, 0.1], [0.2, 0.3]])
-    pairs = greedy_match(errors)
-    assert (0, 1) in pairs and (1, 0) in pairs
+    pairs = match_poses_bop(errors, np.full(2, 1.0))
+    assert pairs == [(0, 1), (1, 0)]
+    # threshold excludes candidates per GT
+    pairs = match_poses_bop(errors, np.array([0.25, 0.05]))
+    assert pairs == [(1, 0)]  # est 0 has no sub-threshold GT
+
+
+def test_matching_is_per_threshold_not_global_greedy():
+    """BOP semantics: a higher-score estimate keeps its best GT even when
+    a globally-greedy assignment would pair differently (toolkit
+    pose_matching.py processes estimates by score per threshold)."""
+    # est 0 = highest score. Global-greedy by ascending error would pair
+    # (e1,g0)=0.1 first and force e0 onto g1 with error 10 (a miss).
+    errors = np.array([[0.2, 0.3],    # est 0 (top score)
+                       [0.1, 10.0]])  # est 1
+    gts = {(1, 0): [{"obj_id": 7, "R": None, "t": None, "diameter": 1.0},
+                    {"obj_id": 7, "R": None, "t": None, "diameter": 1.0}]}
+    targets = [{"scene_id": 1, "im_id": 0, "obj_id": 7, "inst_count": 2}]
+    ests = [{"scene_id": 1, "im_id": 0, "obj_id": 7, "score": 0.9, "i": 0},
+            {"scene_id": 1, "im_id": 0, "obj_id": 7, "score": 0.8, "i": 1}]
+    gts[(1, 0)][0]["g"] = 0
+    gts[(1, 0)][1]["g"] = 1
+
+    out = score_error_recalls(
+        ests, gts, targets, lambda e, g: errors[e["i"], g["g"]],
+        thresholds=[0.5])
+    # est0->gt0 (0.2), then est1->gt1 (10.0, miss): recall = 1/2
+    assert out["recall@0.5"] == 0.5
 
 
 def test_score_recalls_simple():
@@ -86,7 +114,8 @@ def test_vsd_error_fn_with_rasterizer():
         diameters={1: float(0.1 * np.sqrt(3))})
     est = {"scene_id": 0, "im_id": 0, "R": R, "t": t}
     gt = {"obj_id": 1, "R": R, "t": t, "K": K}
-    assert err_fn(est, gt) < 1e-6
+    e = err_fn(est, gt)  # error VECTOR over the BOP19 tau grid
+    assert e.shape == (10,) and e.max() < 1e-6
     est_bad = {"scene_id": 0, "im_id": 0, "R": R,
                "t": t + np.array([0.2, 0, 0], np.float32)}
-    assert err_fn(est_bad, gt) > 0.9
+    assert err_fn(est_bad, gt).min() > 0.9

@@ -135,3 +135,53 @@ def test_evaluator_end_to_end(tmp_path):
     assert len(back) == 10
     assert back[0]["obj_id"] == 7
     np.testing.assert_allclose(back[0]["R"], R, atol=1e-6)
+
+
+def test_identity_padded_sym_bank_does_not_flip_add_to_adi():
+    """Production sym banks are identity-padded to a common K_max
+    (geometry/symmetry.pad_symmetries), so bank LENGTH cannot mean
+    'symmetric' — an all-identity bank must score with ADD, not ADI
+    (round-2 regression: every asymmetric object silently scored ADI)."""
+    pts = np.random.RandomState(1).randn(100, 3).astype(np.float32) * 0.05
+    # identity-padded bank of length 4 = asymmetric object
+    bank = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    R_gt = np.eye(3, dtype=np.float32)
+    # 180-deg z flip: ADI is tiny for symmetric-ish point sets, ADD large
+    R_est = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+    t = np.array([0, 0, 1.0])
+
+    ev = PoseEvaluator(models={"o": pts}, diameters={"o": 0.2},
+                       sym_rots={"o": bank})
+    ev.process("o", R_est, t, R_gt, t, K, im_id=0)
+    err = ev.compute_errors()["o"]
+    assert err["ad"][0] == err["add"][0]  # identity bank -> ADD
+    assert err["ad"][0] > err["adi"][0]
+
+    # a bank with a REAL non-identity rotation -> ADI ('ad' = adi branch)
+    bank2 = bank.copy()
+    bank2[1] = np.diag([-1.0, -1.0, 1.0])
+    ev2 = PoseEvaluator(models={"o": pts}, diameters={"o": 0.2},
+                        sym_rots={"o": bank2})
+    ev2.process("o", R_est, t, R_gt, t, K, im_id=0)
+    err2 = ev2.compute_errors()["o"]
+    assert err2["ad"][0] == err2["adi"][0]
+
+
+def test_object_with_zero_predictions_still_counts_as_failures():
+    """An object that has GT instances but no predictions at all must get
+    inf-padded failure rows and appear in per_obj/MEAN (round-2
+    regression: it silently vanished, inflating the MEAN)."""
+    pts = np.random.RandomState(2).randn(50, 3).astype(np.float32) * 0.05
+    ev = PoseEvaluator(models={"a": pts, "b": pts},
+                       diameters={"a": 0.2, "b": 0.2},
+                       sym_rots={"a": None, "b": None},
+                       n_gts={"a": 2, "b": 3})
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 1.0])
+    ev.process("a", R, t, R, t, K, im_id=0)  # 'b' gets NO predictions
+    res = ev.evaluate()
+    assert res["per_obj"]["a"]["ad_10"] == 50.0   # 1 hit of 2 GT
+    assert res["per_obj"]["b"]["ad_10"] == 0.0    # all 3 GT are misses
+    np.testing.assert_allclose(res["mean"]["ad_10"], 25.0)

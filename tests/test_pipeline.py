@@ -48,6 +48,23 @@ def test_crop_matches_cv2(interp_name, cv2_flag):
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def test_nearest_crop_tie_rounding_matches_cv2_exactly():
+    """cv2.warpAffine INTER_NEAREST rounds via cvRound (half-to-even), so
+    jnp.round matches EXACTLY even when every sample lands on a .5 tie
+    (r=2 downscale with integer-aligned center)."""
+    from rdpn6d_tpu.ops.warp import crop_affine
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (480, 640)).astype(np.float32)
+    center, scale, out = np.array([320.0, 240.0], np.float32), 512.0, 256
+    A = np.asarray(crop_affine(jnp.asarray(center),
+                               jnp.asarray(np.float32(scale)), out))
+    ref = cv2.warpAffine(img, A, (out, out), flags=cv2.INTER_NEAREST)
+    got = np.asarray(crop_resize(jnp.asarray(img), jnp.asarray(center),
+                                 np.float32(scale), out, "nearest"))
+    assert (ref == got).all()
+
+
 @pytest.fixture(scope="module")
 def cube_scene():
     K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
