@@ -109,25 +109,7 @@ def color_augment(img: jax.Array, key: jax.Array,
         img = _apply_op(img, k, op)
     return img
 
-
-def replace_background(rgb: jax.Array, fg_mask: jax.Array,
-                       bg_img: jax.Array, key: jax.Array,
-                       prob: float = 0.5,
-                       truncate_fg: bool = False) -> jax.Array:
-    """Swap the background (and optionally truncate the foreground) with a
-    provided background image (base_data_loader.py:320-364). bg_img must be
-    pre-resized to rgb's shape on the host."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    mask = fg_mask[..., None]
-    if truncate_fg:
-        # zero a random half-plane of the object (TRUNCATE_FG)
-        H, W = rgb.shape[0], rgb.shape[1]
-        side = jax.random.randint(k2, (), 0, 4)
-        cut = jax.random.uniform(k3, (), minval=0.3, maxval=0.7)
-        yy, xx = jnp.meshgrid(jnp.linspace(0, 1, H), jnp.linspace(0, 1, W),
-                              indexing="ij")
-        keep = jnp.stack([xx < cut, xx > cut, yy < cut, yy > cut])[side]
-        mask = mask * keep[..., None]
-    out = rgb * mask + bg_img * (1 - mask)
-    on = jax.random.bernoulli(k1, prob)
-    return jnp.where(on, out, rgb)
+# Background replacement + TRUNCATE_FG live in the HOST decoder
+# (loader.RecordDecoder, base_data_loader.py:320-364 semantics): the
+# truncated visib mask must exist BEFORE device transfer to feed
+# mask_trunc, so a device-side copy would duplicate the logic.

@@ -33,8 +33,11 @@ def load_detections(path: str) -> dict[tuple[int, int], list[dict]]:
         raw = items
     out: dict[tuple[int, int], list[dict]] = defaultdict(list)
     for d in raw:
-        bbox = np.asarray(d.get("bbox_est", d.get("bbox", [0, 0, 1, 1])),
-                          np.float32)
+        if "bbox_est" not in d and "bbox" not in d:
+            raise ValueError(
+                f"detection entry without bbox_est/bbox: {sorted(d)} "
+                f"(scene {d.get('scene_id')}, im {d.get('im_id')})")
+        bbox = np.asarray(d.get("bbox_est", d.get("bbox")), np.float32)
         # detections are xywh (BOP det convention); convert to xyxy
         xyxy = np.array([bbox[0], bbox[1], bbox[0] + bbox[2],
                          bbox[1] + bbox[3]], np.float32)
@@ -54,17 +57,23 @@ def attach_detections(records: list[dict[str, Any]],
     """Replace each test record's GT bbox with its matched detection bbox.
 
     Records without a detection for their object are dropped (the reference
-    logs and skips, dataset_utils.py:117-186). For duplicate detections of
-    one object keep the top-k by score.
+    logs and skips, dataset_utils.py:117-186). Detections are assigned to
+    DISTINCT GT records of the same (scene, im, obj) by descending score —
+    one prediction row per detection, never one per (detection x GT
+    instance), which would double-count on duplicate-instance images.
     """
-    out = []
+    by_key: dict[tuple[int, int, int], list[dict]] = defaultdict(list)
     for rec in records:
-        dets = detections.get((rec["scene_id"], rec["im_id"]), [])
+        by_key[(rec["scene_id"], rec["im_id"], rec["obj_id"])].append(rec)
+
+    out = []
+    for (scene_id, im_id, obj_id), recs in by_key.items():
+        dets = detections.get((scene_id, im_id), [])
         cands = sorted(
             (d for d in dets
-             if d["obj_id"] == rec["obj_id"] and d["score"] >= score_thr),
-            key=lambda d: -d["score"])[:topk_per_obj]
-        for d in cands:
+             if d["obj_id"] == obj_id and d["score"] >= score_thr),
+            key=lambda d: -d["score"])[:max(topk_per_obj, len(recs))]
+        for d, rec in zip(cands, recs):
             r = dict(rec)
             r["bbox_visib"] = d["bbox"]
             r["bbox_mode"] = "xyxy"  # det bboxes are already converted

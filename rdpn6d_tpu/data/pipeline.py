@@ -89,16 +89,11 @@ def _backproject_crop(depth_crop: jax.Array, K: jax.Array,
     """depth crop [S, S] -> camera-frame XYZ [S, S, 3] via the crop-warped
     intrinsics, with the reference's depth /= resize_ratio convention
     (data_loader.py:753-763)."""
-    A = crop_affine(center, scale, input_res)
-    Kc = jnp.concatenate(
-        [A, jnp.asarray([[0.0, 0.0, 1.0]], A.dtype)], axis=0) @ K
+    from ..geometry.camera import backproject_depth, crop_K
+
+    Kc = crop_K(K, crop_affine(center, scale, input_res))
     resize_ratio = out_res / scale
-    d = depth_crop / resize_ratio
-    u = jnp.arange(input_res, dtype=d.dtype)
-    uu, vv = jnp.meshgrid(u, u)
-    x = (uu - Kc[0, 2]) * d / Kc[0, 0]
-    y = (vv - Kc[1, 2]) * d / Kc[1, 1]
-    return jnp.stack([x, y, d], axis=-1)
+    return backproject_depth(depth_crop / resize_ratio, Kc)
 
 
 @partial(jax.jit, static_argnames=("cfg", "train"))

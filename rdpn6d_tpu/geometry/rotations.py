@@ -165,21 +165,21 @@ def axangle_to_quat(axis: jax.Array, angle: jax.Array) -> jax.Array:
     return jnp.concatenate([jnp.cos(half), axis * jnp.sin(half)], axis=-1)
 
 
-def log_map(rot: jax.Array, eps: float = 1e-7) -> jax.Array:
-    """SO(3) log: [..., 3, 3] -> axis-angle vector [..., 3] (jit-safe)."""
-    t = jnp.trace(rot, axis1=-2, axis2=-1)
-    cos_a = jnp.clip((t - 1.0) / 2.0, -1.0 + eps, 1.0 - eps)
-    angle = jnp.arccos(cos_a)
-    w = jnp.stack(
-        [
-            rot[..., 2, 1] - rot[..., 1, 2],
-            rot[..., 0, 2] - rot[..., 2, 0],
-            rot[..., 1, 0] - rot[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    scale = angle / (2.0 * jnp.sin(angle) + eps)
-    return w * scale[..., None]
+def log_map(rot: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """SO(3) log: [..., 3, 3] -> axis-angle vector [..., 3] (jit-safe).
+
+    Via the quaternion (branchless Shepperd ``mat_to_quat``), which stays
+    well-conditioned at angle = pi where the skew-part formulation
+    (R - R^T -> 0) collapses a half-turn to the zero vector.
+    """
+    q = mat_to_quat(rot)
+    # canonical hemisphere so the angle lands in [0, pi]
+    q = q * jnp.sign(jnp.where(q[..., :1] == 0.0, 1.0, q[..., :1]))
+    v = q[..., 1:]
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(vn[..., 0], q[..., 0])
+    axis = v / jnp.maximum(vn, eps)
+    return axis * angle[..., None]
 
 
 def exp_map(vec: jax.Array, eps: float = 1e-8) -> jax.Array:
@@ -194,7 +194,8 @@ def exp_map(vec: jax.Array, eps: float = 1e-8) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def euler_to_mat(rx: jax.Array, ry: jax.Array, rz: jax.Array) -> jax.Array:
-    """Intrinsic XYZ euler (radians) -> rotation matrix R = Rz @ Ry @ Rx."""
+    """EXTRINSIC XYZ euler (= intrinsic ZYX, radians) -> rotation matrix
+    R = Rz @ Ry @ Rx (transforms3d ``euler2mat(.., axes='sxyz')``)."""
     zero = jnp.zeros_like(rx)
     one = jnp.ones_like(rx)
     cx, sx = jnp.cos(rx), jnp.sin(rx)
@@ -209,7 +210,13 @@ def euler_to_mat(rx: jax.Array, ry: jax.Array, rz: jax.Array) -> jax.Array:
     return Rz @ Ry @ Rx
 
 
-def angular_distance(r1: jax.Array, r2: jax.Array, eps: float = 1e-7) -> jax.Array:
-    """Geodesic angle (radians) between rotation matrices [..., 3, 3]."""
+def angular_distance(r1: jax.Array, r2: jax.Array,
+                     eps: float = 0.0) -> jax.Array:
+    """Geodesic angle (radians) between rotation matrices [..., 3, 3].
+
+    ``eps=0`` gives the exact metric (identical rotations -> 0). Pass a
+    small eps (e.g. 1e-7) when this feeds a LOSS: arccos' gradient is
+    infinite at +-1, so training needs the cos clipped strictly inside.
+    """
     cos_a = (jnp.trace(jnp.swapaxes(r1, -1, -2) @ r2, axis1=-2, axis2=-1) - 1.0) / 2.0
     return jnp.arccos(jnp.clip(cos_a, -1.0 + eps, 1.0 - eps))

@@ -68,8 +68,9 @@ def compute_losses(cfg: Config, out: dict[str, jax.Array],
     # rot loss -------------------------------------------------------------
     if l.rot_lw > 0:
         if l.rot_loss_type == "angular":
+            # eps keeps arccos' gradient finite at cos = +-1
             losses["loss_rot"] = jnp.mean(angular_distance(
-                out["rot_ego"], batch["gt_rot"])) * l.rot_lw
+                out["rot_ego"], batch["gt_rot"], eps=1e-7)) * l.rot_lw
         else:
             losses["loss_rot"] = jnp.mean(
                 (out["rot_ego"] - batch["gt_rot"]) ** 2) * l.rot_lw

@@ -43,7 +43,12 @@ def decode_coord_bins(logits_x: jax.Array, logits_y: jax.Array,
 def expected_coord_from_bins(logits: jax.Array, num_bins: int) -> jax.Array:
     """Soft (differentiable) decode: softmax expectation over the foreground
     bins. [..., num_bins+1] -> [...]. TPU-friendly alternative to argmax for
-    feeding the PnP head in bin mode."""
+    feeding the PnP head in bin mode.
+
+    Bin b maps to b/(num_bins-1), the REFERENCE's normalization
+    (engine_utils.py:113 ``coor_ / (XYZ_BIN - 1)``) — not the exact
+    inverse of ``quantize_coords``' floor, but the convention checkpoints
+    were trained against; the soft and argmax decodes must agree."""
     p = jax.nn.softmax(logits[..., :num_bins], axis=-1)
-    centers = (jnp.arange(num_bins, dtype=p.dtype) + 0.5) / num_bins
+    centers = jnp.arange(num_bins, dtype=p.dtype) / float(num_bins - 1)
     return jnp.sum(p * centers, axis=-1)

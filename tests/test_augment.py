@@ -8,7 +8,6 @@ from rdpn6d_tpu.data.augment import (
     AugOp,
     DEFAULT_AUG,
     color_augment,
-    replace_background,
 )
 
 
@@ -53,14 +52,3 @@ def test_prob_zero_is_identity():
                 for o in DEFAULT_AUG)
     out = color_augment(img, jax.random.PRNGKey(0), ops)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
-
-
-def test_replace_background():
-    rgb = jnp.full((8, 8, 3), 200.0)
-    mask = jnp.zeros((8, 8)).at[2:6, 2:6].set(1.0)
-    bg = jnp.full((8, 8, 3), 10.0)
-    out = replace_background(rgb, mask, bg, jax.random.PRNGKey(3),
-                             prob=1.0)
-    o = np.asarray(out)
-    assert o[0, 0, 0] == 10.0  # background replaced
-    assert o[3, 3, 0] == 200.0  # foreground kept

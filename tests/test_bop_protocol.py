@@ -379,3 +379,40 @@ def test_mp6d_so_splits_use_index_files(tmp_path, monkeypatch):
     # train and test are disjoint
     assert {(r["scene_id"], r["im_id"]) for r in train}.isdisjoint(
         {(r["scene_id"], r["im_id"]) for r in test})
+
+
+def test_attach_detections_no_fanout_on_duplicate_instances():
+    """Detections are assigned to DISTINCT GT records by descending score —
+    never one row per (detection x GT instance) (round-2 regression:
+    duplicate-instance images produced N_gt x k prediction rows)."""
+    from rdpn6d_tpu.data.detections import attach_detections
+
+    rec = {"scene_id": 1, "im_id": 0, "obj_id": 5, "bbox_mode": "xywh"}
+    records = [dict(rec, inst_idx=0), dict(rec, inst_idx=1)]
+    dets = {(1, 0): [
+        {"obj_id": 5, "bbox": np.array([0, 0, 10, 10], np.float32),
+         "score": 0.9, "time": -1.0},
+        {"obj_id": 5, "bbox": np.array([20, 20, 30, 30], np.float32),
+         "score": 0.5, "time": -1.0},
+    ]}
+    out = attach_detections(records, dets, topk_per_obj=1)
+    # 2 GT instances + 2 detections -> exactly 2 rows, distinct bboxes
+    assert len(out) == 2
+    assert out[0]["det_score"] == 0.9 and out[1]["det_score"] == 0.5
+    assert not np.array_equal(out[0]["bbox_visib"], out[1]["bbox_visib"])
+
+    # single GT instance: topk capped at 1 row
+    out1 = attach_detections([dict(rec)], dets, topk_per_obj=3)
+    assert len(out1) == 1 and out1[0]["det_score"] == 0.9
+
+
+def test_load_detections_missing_bbox_raises(tmp_path):
+    import json as _json
+
+    from rdpn6d_tpu.data.detections import load_detections
+
+    p = tmp_path / "dets.json"
+    p.write_text(_json.dumps(
+        [{"scene_id": 1, "im_id": 0, "obj_id": 5, "score": 0.9}]))
+    with pytest.raises(ValueError, match="bbox"):
+        load_detections(str(p))

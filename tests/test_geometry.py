@@ -193,3 +193,35 @@ def test_transform_pts(rots):
     out = transform_pts(pts, rots, t)
     manual = jnp.einsum("bij,bnj->bni", rots, pts) + 1.0
     np.testing.assert_allclose(np.asarray(out), np.asarray(manual), atol=1e-5)
+
+
+def test_log_exp_roundtrip_including_pi():
+    """SO(3) log must survive the angle=pi singularity (round-2 fix: the
+    skew-part formulation returned 0 for half-turns)."""
+    from rdpn6d_tpu.geometry import exp_map, log_map
+
+    rng = np.random.RandomState(0)
+    mats = []
+    # half-turns about each axis — the degenerate case
+    for ax in np.eye(3):
+        mats.append(np.asarray(exp_map(jnp.asarray(ax * np.pi))))
+    for _ in range(20):
+        v = rng.randn(3)
+        mats.append(np.asarray(exp_map(jnp.asarray(v))))
+    # near-pi
+    mats.append(np.asarray(exp_map(jnp.asarray([0.999 * np.pi, 0, 0]))))
+    for R in mats:
+        v = log_map(jnp.asarray(R))
+        R2 = np.asarray(exp_map(v))
+        np.testing.assert_allclose(R2, R, atol=2e-5)
+    # half-turn magnitude is pi, not 0
+    v = np.asarray(log_map(jnp.asarray(np.diag([1.0, -1.0, -1.0]))))
+    assert abs(np.linalg.norm(v) - np.pi) < 1e-5
+
+
+def test_angular_distance_exact_zero():
+    from rdpn6d_tpu.geometry import angular_distance
+
+    R = np.asarray(
+        [[0.36, 0.48, -0.8], [-0.8, 0.6, 0.0], [0.48, 0.64, 0.6]])
+    assert float(angular_distance(jnp.asarray(R), jnp.asarray(R))) == 0.0
