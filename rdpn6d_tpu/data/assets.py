@@ -30,12 +30,21 @@ class ClassAssets:
     fps_points: np.ndarray    # [C, K, 3]
     sym_rots: np.ndarray      # [C, S, 3, 3] identity-padded
     diameters: np.ndarray     # [C]
+    # FULL-dataset class index per asset row (what class-aware heads were
+    # trained with — the subset position desyncs on partial splits);
+    # None = assets cover the full dataset, positions coincide
+    full_cls_idx: list[int] | None = None
 
     def for_obj(self, obj_id: int) -> dict[str, np.ndarray]:
         i = self.obj_ids.index(obj_id)
         return {"points": self.points[i], "extent": self.extents[i],
                 "fps": self.fps_points[i], "sym_rots": self.sym_rots[i],
                 "diameter": self.diameters[i]}
+
+    def full_idx(self, obj_id: int) -> int:
+        """The model's roi_cls for this object (full-dataset index)."""
+        i = self.obj_ids.index(obj_id)
+        return self.full_cls_idx[i] if self.full_cls_idx is not None else i
 
 
 def sample_points(pts: np.ndarray, n: int, seed: int = 2021) -> np.ndarray:
@@ -99,6 +108,7 @@ def load_class_assets(ref: DatasetRef, num_regions: int = 32,
 
     return ClassAssets(
         obj_ids=obj_ids,
+        full_cls_idx=[ref.obj_ids.index(oid) for oid in obj_ids],
         points=np.stack(pts_l),
         extents=np.stack(ext_l),
         fps_points=np.stack(fps_l),

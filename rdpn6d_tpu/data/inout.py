@@ -37,7 +37,10 @@ def load_ply(path: str, vertex_scale: float = 1.0) -> dict[str, np.ndarray]:
         elements: list[tuple[str, int, list[tuple[str, str, str | None]]]] = []
         cur_props: list[tuple[str, str, str | None]] = []
         while True:
-            line = f.readline().decode("ascii").strip()
+            raw = f.readline()
+            if not raw:  # EOF before end_header: truncated/malformed file
+                raise ValueError(f"truncated PLY header: {path}")
+            line = raw.decode("ascii").strip()
             if line.startswith("comment") or line.startswith("obj_info") or not line:
                 continue
             toks = line.split()

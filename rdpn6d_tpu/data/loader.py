@@ -23,6 +23,12 @@ from .assets import ClassAssets
 from .sampler import InfiniteSampler, RepeatFactorSampler
 
 
+class SkipRecord(Exception):
+    """Raised by the decoder for records that cannot produce a training
+    sample (fully-occluded instance, empty mask): the loader skips them
+    like unreadable files (the reference's _rand_another)."""
+
+
 def _imread_rgb(path: str) -> np.ndarray:
     import cv2
 
@@ -71,10 +77,25 @@ class RecordDecoder:
         self.assets = assets
         self.num_pm_points = num_pm_points or cfg.loss.num_pm_points
         self.train = train
+        self.seed = seed
+        # legacy shared stream (kept for _random_bg file choice when no
+        # per-record rng is threaded); augmentation draws use _record_rng
         self.rng = np.random.RandomState(seed)
         self._bg_files: list[str] | None = None
 
-    def _random_bg(self, H: int, W: int) -> np.ndarray | None:
+    def _record_rng(self, rec: dict[str, Any]) -> np.random.RandomState:
+        """Deterministic per-record stream: reproducible regardless of
+        decode-thread interleaving (the shared RandomState would make
+        change_bg/truncate draws depend on thread scheduling)."""
+        mix = (self.seed * 1_000_003
+               + int(rec.get("scene_id", 0)) * 10_007
+               + int(rec.get("im_id", 0)) * 101
+               + int(rec.get("inst_idx", 0))) & 0x7FFFFFFF
+        return np.random.RandomState(mix)
+
+    def _random_bg(self, H: int, W: int,
+                   rng: np.random.RandomState | None = None
+                   ) -> np.ndarray | None:
         """Random background image from cfg.data.bg_images_dir
         (VOC/SUN replacement pool, base_data_loader.py:320-364)."""
         import glob
@@ -91,7 +112,8 @@ class RecordDecoder:
             return None
         import cv2
 
-        path = self._bg_files[self.rng.randint(len(self._bg_files))]
+        path = self._bg_files[(rng or self.rng).randint(
+            len(self._bg_files))]
         bg = cv2.imread(path, cv2.IMREAD_COLOR)
         if bg is None:
             return None
@@ -139,6 +161,9 @@ class RecordDecoder:
         bbox = rec.get("bbox_visib")
         if bbox is None:
             ys, xs = np.nonzero(mask_visib)
+            if xs.size == 0:  # fully occluded / invalid depth everywhere
+                raise SkipRecord(
+                    f"empty visibility mask: {rec['rgb_path']}")
             bbox = np.array([xs.min(), ys.min(), xs.max(), ys.max()],
                             np.float32)
         elif bbox.shape[0] == 4 and rec.get("bbox_mode", "xywh") == "xywh":
@@ -150,14 +175,15 @@ class RecordDecoder:
         # the truncated mask feeds mask_trunc (data_loader.py:843-848)
         mask_trunc = mask_visib
         d = self.cfg.data
+        rng = self._record_rng(rec)
         if self.train and d.change_bg_prob > 0 \
-                and self.rng.rand() < d.change_bg_prob:
-            bg = self._random_bg(H, W)
+                and rng.rand() < d.change_bg_prob:
+            bg = self._random_bg(H, W, rng)
             if bg is not None:
                 keep = mask_visib.copy()
                 if d.truncate_fg:
-                    cut = self.rng.uniform(0.3, 0.7)
-                    side = self.rng.randint(4)
+                    cut = rng.uniform(0.3, 0.7)
+                    side = rng.randint(4)
                     uu, vv = np.meshgrid(np.linspace(0, 1, W),
                                          np.linspace(0, 1, H))
                     half = [uu < cut, uu > cut, vv < cut, vv > cut][side]
@@ -259,7 +285,7 @@ def train_frame_iterator(cfg: Config, split_name: str | list[str],
     def _decode_one(rec):
         try:
             return decoder(rec)
-        except (FileNotFoundError, OSError):
+        except (FileNotFoundError, OSError, SkipRecord):
             return None  # skip unreadable frames (reference _rand_another)
 
     def producer():
@@ -289,7 +315,17 @@ def train_frame_iterator(cfg: Config, split_name: str | list[str],
                     q.put(_stack(batch))
                     batch = []
 
-    th = threading.Thread(target=producer, daemon=True)
+    def producer_guard():
+        try:
+            producer()
+        except BaseException as e:  # surface in the consumer, never hang
+            q.put(e)
+
+    th = threading.Thread(target=producer_guard, daemon=True)
     th.start()
     while True:
-        yield q.get()
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise RuntimeError("data loader producer thread failed") \
+                from item
+        yield item

@@ -28,11 +28,17 @@ class CheckpointManager:
 
     def save(self, step: int, state: TrainState,
              extra: dict[str, Any] | None = None) -> None:
-        payload = {"state": state}
-        if extra:
-            payload["extra"] = extra
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.save(step, args=ocp.args.StandardSave({"state": state}))
         self._mgr.wait_until_finished()
+        if extra:
+            # free-form metadata as a sidecar (an orbax StandardRestore
+            # template could not describe an unknown dict shape, so extra
+            # inside the tree would break the restore round-trip)
+            import json
+
+            with open(os.path.join(self.directory, str(step),
+                                   "extra.json"), "w") as f:
+                json.dump(extra, f)
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
@@ -46,7 +52,14 @@ class CheckpointManager:
             return state, {}
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore({"state": state}))
-        return restored["state"], restored.get("extra", {})
+        extra: dict[str, Any] = {}
+        extra_path = os.path.join(self.directory, str(step), "extra.json")
+        if os.path.exists(extra_path):
+            import json
+
+            with open(extra_path) as f:
+                extra = json.load(f)
+        return restored["state"], extra
 
     def resume_or_load(self, state: TrainState, resume: bool
                        ) -> tuple[TrainState, int]:

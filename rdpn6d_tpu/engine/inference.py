@@ -33,9 +33,10 @@ def inference_on_dataset(
     carry obj_name/scene_id/im_id/R_gt/t_gt/K for evaluator.process.
     Evaluator feeding is one batched append per step (the reference's
     per-ROI host loop, gdrn_evaluator.py:128-185, caps throughput)."""
-    total_compute = 0.0
     total_process = 0.0
     n_rois = 0
+    n_timed = 0
+    t_first = None
 
     def consume(out, meta, per):
         rot = np.asarray(out["rot_ego"])  # blocks on THIS batch only
@@ -63,25 +64,32 @@ def inference_on_dataset(
             consume(p_out, p_meta, (t0 - p_t0) / max(len(p_meta), 1))
             t2 = time.perf_counter()
             if i > num_warmup:
-                total_compute += t0 - p_t0
                 total_process += t2 - t0
-                n_rois += len(p_meta)
+                n_timed += len(p_meta)
+                if t_first is None:
+                    t_first = p_t0
+            n_rois += len(p_meta)
         pending = (out, meta, t0)
     if pending is not None:
         p_out, p_meta, p_t0 = pending
-        consume(p_out, p_meta, 0.0)
-        t2 = time.perf_counter()
-        total_compute += t2 - p_t0
+        consume(p_out, p_meta, time.perf_counter() - p_t0)
         n_rois += len(p_meta)
+        n_timed += len(p_meta)
+        if t_first is None:
+            t_first = p_t0
+    # wall-clock throughput over the steady-state window (a PARTITION of
+    # time — compute and the overlapped host processing are not summed, so
+    # nothing is double-counted)
+    total_wall = (time.perf_counter() - t_first) if t_first else 0.0
     if n_rois:
         logger.info(
             f"inference: {n_rois} rois, "
-            f"{1000 * total_compute / n_rois:.2f} ms/roi compute, "
-            f"{1000 * total_process / n_rois:.3f} ms/roi process, "
-            f"{n_rois / max(total_compute + total_process, 1e-9):.1f} "
-            "poses/sec")
+            f"{1000 * total_wall / max(n_timed, 1):.2f} ms/roi wall, "
+            f"{1000 * total_process / max(n_timed, 1):.3f} ms/roi host "
+            f"process (overlapped), "
+            f"{n_timed / max(total_wall, 1e-9):.1f} poses/sec")
     return {
-        "compute_s": total_compute,
+        "compute_s": total_wall,
         "process_s": total_process,
         "n_rois": n_rois,
     }

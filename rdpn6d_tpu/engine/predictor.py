@@ -18,10 +18,9 @@ import numpy as np
 
 from ..config import Config
 from ..data.assets import ClassAssets
-from ..data.pipeline import preprocess_batch
+from ..data.pipeline import preprocess_rois_grouped
 from ..models import RDPN, dummy_batch
 from ..parallel import create_train_state, make_eval_step
-from ..solver import build_optimizer
 
 
 @dataclass
@@ -36,7 +35,8 @@ class Predictor:
                  ckpt_dir: str | None = None,
                  params_pkl: str | None = None,
                  batch_size: int = 16,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16,
+                 allow_random_init: bool = False):
         self.cfg = cfg
         self.assets = assets
         self.batch_size = batch_size
@@ -53,12 +53,25 @@ class Predictor:
                          "batch_stats": _merge(
                              variables.get("batch_stats", {}),
                              loaded.get("batch_stats", {}))}
-        tx = build_optimizer(cfg, total_iters=1)
-        self.state = create_train_state(cfg, variables, tx)
+        # serving needs no optimizer state (identity keeps TrainState's
+        # structure without Ranger's 3x-parameter mu/nu/slow copies)
+        import optax
+
+        self.state = create_train_state(cfg, variables, optax.identity())
         if ckpt_dir:
             from .checkpoint import CheckpointManager
 
-            self.state, _ = CheckpointManager(ckpt_dir).restore(self.state)
+            mgr = CheckpointManager(ckpt_dir)
+            if mgr.latest_step() is None:
+                raise FileNotFoundError(
+                    f"no checkpoint found in {ckpt_dir!r} — a Predictor "
+                    "must never silently serve random-init weights")
+            self.state, _ = mgr.restore(self.state)
+        elif not params_pkl and not allow_random_init:
+            raise ValueError(
+                "Predictor requires ckpt_dir or params_pkl (refusing to "
+                "serve random-init weights); pass allow_random_init=True "
+                "for smoke tests")
         self._eval_step = make_eval_step(cfg, self.model)
         self._key = jax.random.PRNGKey(0)
 
@@ -70,27 +83,33 @@ class Predictor:
             return []
         bs = self.batch_size
         out_all: list[dict[str, Any]] = []
+        # the frame crosses host->device ONCE; every ROI crops it by index
+        # inside the jitted graph (data/pipeline.preprocess_rois_grouped)
+        frames = {
+            "rgb": jnp.asarray(rgb[None].astype(np.float32)),
+            "depth": jnp.asarray(depth[None].astype(np.float32)),
+            "K": jnp.asarray(np.asarray(K, np.float32)[None]),
+        }
         for lo in range(0, n, bs):
             dets = list(detections[lo:lo + bs])
             pad = bs - len(dets)
             dets_p = dets + [dets[-1]] * pad
-            samples = {
-                "rgb": np.tile(rgb[None].astype(np.float32), (bs, 1, 1, 1)),
-                "depth": np.tile(depth[None].astype(np.float32),
-                                 (bs, 1, 1)),
-                "K": np.tile(np.asarray(K, np.float32)[None], (bs, 1, 1)),
-                "bbox": np.stack([np.asarray(d.bbox_xyxy, np.float32)
-                                  for d in dets_p]),
-                "fps": np.stack([self.assets.for_obj(d.obj_id)["fps"]
-                                 for d in dets_p]),
-                "extent": np.stack([self.assets.for_obj(d.obj_id)["extent"]
-                                    for d in dets_p]),
+            rois = {
+                "frame_idx": jnp.zeros((bs,), jnp.int32),
+                "bbox": jnp.asarray(np.stack(
+                    [np.asarray(d.bbox_xyxy, np.float32)
+                     for d in dets_p])),
+                "fps": jnp.asarray(np.stack(
+                    [self.assets.for_obj(d.obj_id)["fps"]
+                     for d in dets_p])),
+                "extent": jnp.asarray(np.stack(
+                    [self.assets.for_obj(d.obj_id)["extent"]
+                     for d in dets_p])),
             }
-            batch = preprocess_batch(
-                self.cfg, {k: jnp.asarray(v) for k, v in samples.items()},
-                self._key, train=False)
+            batch = preprocess_rois_grouped(self.cfg, frames, rois,
+                                            self._key, train=False)
             batch["roi_cls"] = jnp.asarray(
-                [self.assets.obj_ids.index(d.obj_id) for d in dets_p],
+                [self.assets.full_idx(d.obj_id) for d in dets_p],
                 jnp.int32)
             out = self._eval_step(self.state, batch)
             R = np.asarray(out["rot_ego"])

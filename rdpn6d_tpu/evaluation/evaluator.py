@@ -181,17 +181,26 @@ class PoseEvaluator:
 
     # ------------------------------------------------------------------
     def bop_rows(self, obj2id: dict[str, int]) -> list[dict]:
-        """Rows for inout.save_bop_results_csv (test_utils.py:33-52)."""
+        """Rows for inout.save_bop_results_csv (test_utils.py:33-52).
+
+        The BOP toolkit requires ONE time value per (scene, image); rows
+        of an image that spanned two inference batches carry different
+        stamps, so unify to the per-image maximum."""
         allp = self._consolidated()
         if allp is None:
             return []
+        im_time: dict[tuple[int, int], float] = {}
+        for i in range(len(allp["obj"])):
+            k = (int(allp["scene_id"][i]), int(allp["im_id"][i]))
+            im_time[k] = max(im_time.get(k, -1.0), float(allp["time"][i]))
         return [{
             "scene_id": int(allp["scene_id"][i]),
             "im_id": int(allp["im_id"][i]),
             "obj_id": obj2id[allp["obj"][i]],
             "score": float(allp["score"][i]),
             "R": allp["R"][i], "t": allp["t"][i],
-            "time": float(allp["time"][i]),
+            "time": im_time[(int(allp["scene_id"][i]),
+                             int(allp["im_id"][i]))],
         } for i in range(len(allp["obj"]))]
 
 

@@ -15,7 +15,8 @@ def test_predictor_smoke():
         "data.input_res=64", "data.out_res=16",
     ])
     assets = synthetic_class_assets(num_regions=4)
-    pred = Predictor(cfg, assets, batch_size=4, dtype=jnp.float32)
+    pred = Predictor(cfg, assets, batch_size=4, dtype=jnp.float32,
+                     allow_random_init=True)
 
     rng = np.random.RandomState(0)
     rgb = rng.rand(480, 640, 3).astype(np.float32) * 255
@@ -32,3 +33,23 @@ def test_predictor_smoke():
         assert r["R"].shape == (3, 3) and r["t"].shape == (3,)
         assert np.isfinite(r["R"]).all() and np.isfinite(r["t"]).all()
     assert pred.predict(rgb, depth, K, []) == []
+
+
+def test_predictor_refuses_random_init(tmp_path):
+    """No checkpoint + no params_pkl must raise, and an empty ckpt_dir must
+    raise — never silently serve PRNG-initialized weights (round-2 fix)."""
+    import pytest
+
+    from rdpn6d_tpu.config import Config
+    from rdpn6d_tpu.engine.predictor import Predictor
+
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16"])
+    assets = synthetic_class_assets(num_regions=4)
+    with pytest.raises(ValueError, match="random-init"):
+        Predictor(cfg, assets, batch_size=2, dtype=jnp.float32)
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        Predictor(cfg, assets, ckpt_dir=str(tmp_path / "empty"),
+                  batch_size=2, dtype=jnp.float32)
