@@ -104,6 +104,9 @@ class LossConfig:
     pm_r_only: bool = True
     pm_loss_sym: bool = False
     pm_smooth_l1_beta: float = 1.0
+    pm_disentangle_t: bool = False   # PM_DISENTANGLE_T (R/T split)
+    pm_disentangle_z: bool = False   # PM_DISENTANGLE_Z (R/xy/z split)
+    pm_t_use_points: bool = False    # PM_T_USE_POINTS
     num_pm_points: int = 3000
     centroid_loss: str = "L1"
     centroid_lw: float = 1.0

@@ -22,7 +22,8 @@ logger = logging.getLogger("rdpn6d")
 def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
              dets_path: str = "", batch_size: int = 32,
              csv_path: str | None = None,
-             state: Any = None, model: Any = None) -> dict[str, Any]:
+             state: Any = None, model: Any = None,
+             allow_random_init: bool = False) -> dict[str, Any]:
     import jax
     import jax.numpy as jnp
 
@@ -76,15 +77,21 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
         try:
             di = list(cfg.data.test_datasets).index(split_name)
         except ValueError:
+            if len(cfg.data.det_files_test) != 1:
+                raise ValueError(
+                    f"split {split_name!r} is not in cfg.data."
+                    f"test_datasets {cfg.data.test_datasets} — cannot "
+                    "pick among multiple det_files_test; pass --dets")
             di = 0
         dets_path = cfg.data.det_files_test[min(
             di, len(cfg.data.det_files_test) - 1)]
+    # objects present in the GT (BEFORE detections attach: an object the
+    # detector misses entirely still needs assets for its failure rows)
+    present = sorted({rec["obj_id"] for rec in records})
     if dets_path:
         records = attach_detections(records, load_detections(dets_path),
                                     topk_per_obj=cfg.data.det_topk_per_obj)
     logger.info(f"{len(records)} test instances in {split_name}")
-
-    present = sorted({rec["obj_id"] for rec in records})
     assets = load_class_assets(ref, cfg.head.num_regions,
                                cfg.loss.num_pm_points,
                                objs=[ref.id2obj[oid] for oid in present])
@@ -97,7 +104,13 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                                train=False)
         tx = build_optimizer(cfg, total_iters=1)
         state = create_train_state(cfg, variables, tx)
-        state, _ = CheckpointManager(ckpt_dir).restore(state)
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is None and not allow_random_init:
+            raise FileNotFoundError(
+                f"no checkpoint in {ckpt_dir!r} — refusing to evaluate "
+                "random-init weights (pass allow_random_init=True for "
+                "smoke runs)")
+        state, _ = mgr.restore(state)
     eval_step = make_eval_step(cfg, model)
 
     # score on the decimated eval meshes (reference model_eval_dir,
@@ -231,6 +244,8 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                 "obj_name": id2name[rec["obj_id"]],
                 "R_gt": rec["R"], "t_gt": rec["t"], "K": rec["K"],
                 "scene_id": rec["scene_id"], "im_id": rec["im_id"],
+                # detector confidence rides into the CSV + BOP matching
+                "score": rec.get("det_score", 1.0),
             })
         if meta:
             yield _flush(frames_l, rois_l, meta)
@@ -268,8 +283,9 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
 
 def coord_regression_eval(cfg: Config, ckpt_dir: str, split_name: str,
                           batch_size: int = 16, state: Any = None,
-                          model: Any = None,
-                          max_batches: int = 0) -> dict[str, float]:
+                          model: Any = None, max_batches: int = 0,
+                          allow_random_init: bool = False
+                          ) -> dict[str, float]:
     """Debug eval: masked L1 of predicted vs GT normalized coordinates.
 
     Counterpart of the reference's ``test_coordinate_regression``
@@ -311,7 +327,12 @@ def coord_regression_eval(cfg: Config, ckpt_dir: str, split_name: str,
                                train=False)
         tx = build_optimizer(cfg, total_iters=1)
         state = create_train_state(cfg, variables, tx)
-        state, _ = CheckpointManager(ckpt_dir).restore(state)
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is None and not allow_random_init:
+            raise FileNotFoundError(
+                f"no checkpoint in {ckpt_dir!r} — refusing to evaluate "
+                "random-init weights")
+        state, _ = mgr.restore(state)
 
     key = jax.random.PRNGKey(0)
 

@@ -49,6 +49,8 @@ def inference_on_dataset(
             np.stack([row["K"] for row in meta]),
             scene_ids=np.array([row.get("scene_id", 0) for row in meta]),
             im_ids=np.array([row.get("im_id", 0) for row in meta]),
+            scores=np.array([row.get("score", 1.0) for row in meta],
+                            np.float32),
             times=np.full(n, per, np.float32))
 
     # double-buffered: dispatch batch i+1 BEFORE blocking on batch i, so

@@ -63,7 +63,9 @@ def compute_losses(cfg: Config, out: dict[str, jax.Array],
             sym_rots=batch.get("sym_rots"),
             loss_type=l.pm_loss_type, beta=l.pm_smooth_l1_beta,
             norm_by_extent=l.pm_norm_by_extent, symmetric=l.pm_loss_sym,
-            r_only=l.pm_r_only, loss_weight=l.pm_lw))
+            r_only=l.pm_r_only, disentangle_t=l.pm_disentangle_t,
+            disentangle_z=l.pm_disentangle_z,
+            t_use_points=l.pm_t_use_points, loss_weight=l.pm_lw))
 
     # rot loss -------------------------------------------------------------
     if l.rot_lw > 0:

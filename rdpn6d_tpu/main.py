@@ -89,15 +89,10 @@ def main(argv=None):
             f"device count; using a {n_dev}-device mesh")
     mesh = create_mesh(n_dev)
 
-    model = RDPN(cfg, dtype=jnp.bfloat16 if cfg.solver.amp else jnp.float32)
-    variables = model.init(jax.random.PRNGKey(cfg.train.seed),
-                           dummy_batch(cfg, 2), train=False)
-    if cfg.backbone.pretrained:
-        from .utils.torch_convert import load_pretrained_backbone
-        variables = load_pretrained_backbone(variables,
-                                             cfg.backbone.pretrained)
-
     if args.eval_only:
+        # eval builds its own model/state from the checkpoint — the
+        # training-path init (and pretrained-backbone load) would be
+        # discarded work here
         from .engine.eval_runner import coord_regression_eval, run_eval
 
         for split in cfg.data.test_datasets:
@@ -109,6 +104,14 @@ def main(argv=None):
                 run_eval(cfg, ckpt_dir=f"{cfg.train.output_dir}/ckpt",
                          split_name=split)
         return
+
+    model = RDPN(cfg, dtype=jnp.bfloat16 if cfg.solver.amp else jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.train.seed),
+                           dummy_batch(cfg, 2), train=False)
+    if cfg.backbone.pretrained:
+        from .utils.torch_convert import load_pretrained_backbone
+        variables = load_pretrained_backbone(variables,
+                                             cfg.backbone.pretrained)
 
     # epochs -> iterations (engine.py:179-186 epoch semantics)
     split = list(cfg.data.train_datasets)

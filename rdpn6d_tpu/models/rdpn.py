@@ -72,6 +72,7 @@ class RDPN(nn.Module):
             skip64 = None if skip64 is None else jax.lax.stop_gradient(skip64)
             skip32 = None if skip32 is None else jax.lax.stop_gradient(skip32)
         B, h8, w8 = feat.shape[:3]
+        feat8 = feat  # the 8x8 backbone feature (TransHead input)
         # torch-exact resizes (reference: UpsamplingBilinear2d x4 +
         # F.interpolate nearest to 32x32, resnet_backbone.py:281,307)
         feat = upsample_bilinear_align_corners(feat, h8 * 4, w8 * 4)
@@ -180,9 +181,12 @@ class RDPN(nn.Module):
             # direct-translation head override (GDRN.py:238-239; disabled in
             # all shipped configs but part of the API surface)
             from .heads import TransHead
+            # the reference's TransHeadNet consumes the 8x8 BACKBONE
+            # feature (cdpn_trans_head.py:39 Linear(256*8*8, 4096)); the
+            # 32x32 fused map would blow the first Dense up to ~1e9 params
             t_param = TransHead(num_filters=head_cfg.num_filters,
                                 dtype=self.dtype,
-                                name="trans_head")(fused, train=train)
+                                name="trans_head")(feat8, train=train)
 
         # ------------------------------------------------------------------
         # rot param -> matrix; centroid/z -> egocentric pose (on-device)

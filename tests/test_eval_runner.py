@@ -99,6 +99,7 @@ def test_run_eval_full_path(full_dataset, monkeypatch, tmp_path):
     # random-init model: accuracy is irrelevant; the path must run
     model = RDPN(cfg, dtype=jnp.float32)
     result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      allow_random_init=True,
                       split_name="tiny_eval_test", batch_size=2,
                       model=model,
                       csv_path=str(tmp_path / "out.csv"))
@@ -139,6 +140,7 @@ def test_run_eval_bop19_targets(full_dataset, monkeypatch, tmp_path):
 
     model = RDPN(cfg, dtype=jnp.float32)
     result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      allow_random_init=True,
                       split_name="tiny_eval_tgt", batch_size=2,
                       model=model, csv_path=str(tmp_path / "tgt.csv"))
     # only 2 of the 3 scene images are targets
@@ -190,6 +192,7 @@ def test_run_eval_est_dets_from_config(full_dataset, monkeypatch, tmp_path):
 
     model = RDPN(cfg, dtype=jnp.float32)
     result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      allow_random_init=True,
                       split_name="tiny_eval_det", batch_size=2,
                       model=model, csv_path=str(tmp_path / "det.csv"))
     csv = (tmp_path / "det.csv").read_text().strip().splitlines()
@@ -258,6 +261,7 @@ def test_run_eval_mp6d_ycb_style(tmp_path, monkeypatch):
 
     model = RDPN(cfg, dtype=jnp.float32)
     result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      allow_random_init=True,
                       split_name="mp6d_tiny_eval", batch_size=2,
                       model=model, csv_path=str(tmp_path / "mp6d.csv"))
     # both instances must have been evaluated, not skipped
@@ -265,3 +269,40 @@ def test_run_eval_mp6d_ycb_style(tmp_path, monkeypatch):
     assert "obj_03" in result["per_obj"]
     csv = (tmp_path / "mp6d.csv").read_text().strip().splitlines()
     assert len(csv) == 3  # header + 2 estimates
+
+
+def test_score_csv_rescores_run_eval_output(full_dataset, monkeypatch,
+                                            tmp_path, capsys):
+    """tools/score_csv must reproduce run_eval's protocol on the cached
+    CSV: eval meshes, n_gts failure padding, per-instance matching."""
+    import sys
+
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", full_dataset)
+    register_split(Split("tiny_rescore", "lm", "test", scene_ids=(1,)))
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+        f'train.output_dir="{tmp_path}"',
+    ])
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.engine.eval_runner import run_eval
+    from rdpn6d_tpu.models import RDPN
+
+    csv_path = str(tmp_path / "rescore.csv")
+    run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+             allow_random_init=True, split_name="tiny_rescore",
+             batch_size=2, model=RDPN(cfg, dtype=jnp.float32),
+             csv_path=csv_path)
+
+    sys.path.insert(0, "tools")
+    import importlib
+
+    score_csv = importlib.import_module("score_csv")
+    monkeypatch.setattr(sys, "argv",
+                        ["score_csv", "--csv", csv_path,
+                         "--split", "tiny_rescore", "--num-regions", "4"])
+    score_csv.main()
+    out = capsys.readouterr().out
+    assert "ape" in out and "MEAN" in out

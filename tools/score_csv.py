@@ -42,13 +42,21 @@ def main():
     ref = get_ref(split.ref_name)
     records = build_split_records(split, flatten=True)
     results = load_bop_results_csv(args.csv)
-    assets = load_class_assets(ref, args.num_regions)
+    present = sorted({rec["obj_id"] for rec in records})
+    # decimated eval meshes — what run_eval / the reference score on
+    assets = load_class_assets(ref, args.num_regions,
+                               objs=[ref.id2obj[oid] for oid in present],
+                               use_eval_models=True)
 
     # index GT by (scene, im, obj)
     gt_idx = {}
     for rec in records:
         gt_idx.setdefault(
             (rec["scene_id"], rec["im_id"], rec["obj_id"]), []).append(rec)
+    n_gts = {}
+    for rec in records:
+        name = ref.id2obj[rec["obj_id"]]
+        n_gts[name] = n_gts.get(name, 0) + 1
 
     ev = PoseEvaluator(
         models={ref.id2obj[oid]: assets.for_obj(oid)["points"]
@@ -57,17 +65,31 @@ def main():
                    or ref.diameter_m(oid) for oid in assets.obj_ids},
         sym_rots={ref.id2obj[oid]: assets.for_obj(oid)["sym_rots"]
                   for oid in assets.obj_ids},
+        n_gts=n_gts,  # missing estimates count as failures, like run_eval
     )
-    n_matched = 0
+    # estimates of one (scene, im, obj) pair to DISTINCT GT instances by
+    # descending score: each takes the nearest (by translation) unmatched
+    # GT, so duplicate-instance images are scored per instance
+    by_key = {}
     for res in results:
-        key = (res["scene_id"], res["im_id"], res["obj_id"])
+        by_key.setdefault(
+            (res["scene_id"], res["im_id"], res["obj_id"]), []).append(res)
+    n_matched = 0
+    for key, ests in by_key.items():
         if key not in gt_idx:
             continue
-        gt = gt_idx[key][0]
-        ev.process(ref.id2obj[res["obj_id"]], res["R"], res["t"],
-                   gt["R"], gt["t"], gt["K"], scene_id=res["scene_id"],
-                   im_id=res["im_id"], score=res["score"])
-        n_matched += 1
+        gt_pool = list(gt_idx[key])
+        for res in sorted(ests, key=lambda r: -r.get("score", 1.0)):
+            if not gt_pool:
+                break
+            import numpy as _np
+            d = [_np.linalg.norm(_np.asarray(res["t"]) - g["t"])
+                 for g in gt_pool]
+            gt = gt_pool.pop(int(_np.argmin(d)))
+            ev.process(ref.id2obj[res["obj_id"]], res["R"], res["t"],
+                       gt["R"], gt["t"], gt["K"], scene_id=res["scene_id"],
+                       im_id=res["im_id"], score=res["score"])
+            n_matched += 1
     logging.info(f"matched {n_matched}/{len(results)} estimates to GT")
     out = ev.evaluate()
     print(format_table(out))
