@@ -42,12 +42,17 @@ inline int relax_and_argmax(const float* pts, int pn, int cur,
 
 void run_fps(const float* pts, int* idxs, int pn, int sn, int first,
              std::vector<float>& min_dist) {
+  if (pn <= 0 || sn <= 0) return;
   int cur = first;
-  for (int s = 0; s < sn; ++s) {
+  const int n_unique = sn < pn ? sn : pn;
+  for (int s = 0; s < n_unique; ++s) {
     idxs[s] = cur;
     min_dist[cur] = -FLT_MAX;  // never reselect
     cur = relax_and_argmax(pts, pn, cur, min_dist);
   }
+  // degenerate request (more samples than points): cycle the picks
+  // instead of silently emitting index 0
+  for (int s = n_unique; s < sn; ++s) idxs[s] = idxs[s % n_unique];
 }
 
 }  // namespace
@@ -85,6 +90,7 @@ void farthest_point_sampling_init_center(const float* pts, int* idxs, int pn,
 // Reproducible replacement for the reference's srand(time(0)) variant.
 void farthest_point_sampling_seeded(const float* pts, int* idxs, int pn,
                                     int sn, int seed) {
+  if (pn <= 0) return;  // modulo-by-zero below is UB
   // splitmix64 step for a well-mixed start index
   uint64_t z = static_cast<uint64_t>(seed) + 0x9e3779b97f4a7c15ull;
   z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;

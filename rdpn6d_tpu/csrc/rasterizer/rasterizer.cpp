@@ -69,7 +69,10 @@ void render_mesh(const float* verts, int nv, const int* faces, int nf,
     const int i0 = faces[3 * f], i1 = faces[3 * f + 1], i2 = faces[3 * f + 2];
     const float z0 = cam[3 * i0 + 2], z1 = cam[3 * i1 + 2],
                 z2 = cam[3 * i2 + 2];
-    if (z0 <= 1e-6f || z1 <= 1e-6f || z2 <= 1e-6f) continue;  // behind cam
+    // near-plane cull: estimated poses can be arbitrary garbage, and a
+    // vertex just in front of the camera projects to coordinates whose
+    // float->int cast is UB (and whose bbox spans the whole image)
+    if (z0 <= 1e-4f || z1 <= 1e-4f || z2 <= 1e-4f) continue;
 
     const float x0 = scr[2 * i0], y0 = scr[2 * i0 + 1];
     const float x1 = scr[2 * i1], y1 = scr[2 * i1 + 1];
@@ -79,16 +82,27 @@ void render_mesh(const float* verts, int nv, const int* faces, int nf,
     if (std::fabs(area) < 1e-12f) continue;
     const float inv_area = 1.0f / area;
 
-    int xmin = std::max(0, (int)std::floor(std::min({x0, x1, x2})));
-    int xmax = std::min(W - 1, (int)std::ceil(std::max({x0, x1, x2})));
-    int ymin = std::max(0, (int)std::floor(std::min({y0, y1, y2})));
-    int ymax = std::min(H - 1, (int)std::ceil(std::max({y0, y1, y2})));
-    if (xmin > xmax || ymin > ymax) continue;
+    // clamp in FLOAT domain first: casting a huge/non-finite float to
+    // int is undefined behavior
+    const float fx0 = std::min({x0, x1, x2}), fx1 = std::max({x0, x1, x2});
+    const float fy0 = std::min({y0, y1, y2}), fy1 = std::max({y0, y1, y2});
+    if (!std::isfinite(fx0) || !std::isfinite(fx1) ||
+        !std::isfinite(fy0) || !std::isfinite(fy1)) continue;
+    int xmin = (int)std::floor(std::fmax(0.0f, std::fmin(fx0, (float)(W - 1))));
+    int xmax = (int)std::ceil(std::fmax(0.0f, std::fmin(fx1, (float)(W - 1))));
+    int ymin = (int)std::floor(std::fmax(0.0f, std::fmin(fy0, (float)(H - 1))));
+    int ymax = (int)std::ceil(std::fmax(0.0f, std::fmin(fy1, (float)(H - 1))));
+    if (fx1 < 0.0f || fx0 > (float)(W - 1) ||
+        fy1 < 0.0f || fy0 > (float)(H - 1)) continue;
 
     const float iz0 = 1.0f / z0, iz1 = 1.0f / z1, iz2 = 1.0f / z2;
 
     for (int y = ymin; y <= ymax; ++y) {
       for (int x = xmin; x <= xmax; ++x) {
+        // pixel centers AT INTEGER coordinates: the cv2-convention K
+        // used across this code base (pipeline backprojection u=arange)
+        // samples there; OpenGL's half-pixel centers would shift renders
+        // against the captured depth
         const float px = (float)x, py = (float)y;
         float w0 = edge(x1, y1, x2, y2, px, py) * inv_area;
         float w1 = edge(x2, y2, x0, y0, px, py) * inv_area;

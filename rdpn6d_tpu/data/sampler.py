@@ -53,20 +53,28 @@ class RepeatFactorSampler(InfiniteSampler):
         freqs = {c: np.sum(cats == c) / n for c in np.unique(cats)}
         cat_repeat = {c: max(1.0, math.sqrt(repeat_thresh / f))
                       for c, f in freqs.items()}
-        rep = np.array([cat_repeat[c] for c in cats])
-        # stochastic rounding of fractional parts
-        rng = np.random.RandomState(seed)
-        rounded = np.floor(rep) + (rng.rand(n) < (rep - np.floor(rep)))
-        self._indices = np.repeat(np.arange(n), rounded.astype(int))
-        super().__init__(len(self._indices), shuffle, seed, shard_id,
-                         num_shards)
+        self._rep = np.array([cat_repeat[c] for c in cats])
+        self._n_records = n
+        # nominal size for the base-class bookkeeping (the actual epoch
+        # length varies with the per-epoch stochastic rounding below)
+        super().__init__(max(int(self._rep.sum()), 1), shuffle, seed,
+                         shard_id, num_shards)
 
     def _infinite(self) -> Iterator[int]:
         rng = np.random.RandomState(self.seed)
+        floor = np.floor(self._rep)
+        frac = self._rep - floor
         while True:
-            order = rng.permutation(self.size) if self.shuffle \
-                else np.arange(self.size)
-            yield from self._indices[order].tolist()
+            # re-round the fractional repeats EVERY epoch (reference
+            # _get_epoch_indices, my_distributed_sampler.py:120-140): a
+            # one-time rounding would freeze each 1.5x record at 1x or 2x
+            # for the whole run instead of averaging 1.5x
+            rounded = (floor + (rng.rand(self._n_records) < frac)
+                       ).astype(int)
+            indices = np.repeat(np.arange(self._n_records), rounded)
+            if self.shuffle:
+                indices = indices[rng.permutation(len(indices))]
+            yield from indices.tolist()
 
 
 def inference_shards(size: int, shard_id: int = 0,

@@ -47,12 +47,18 @@ class Trainer:
         self.step_fn = make_sharded_train_step(cfg, model, self.tx,
                                                self.mesh)
         out_dir = cfg.train.output_dir
+        # multi-host: only process 0 WRITES metrics/TB/checkpoints to the
+        # (shared) output dir (the reference's save_to_disk=is_global_zero,
+        # engine.py:218); every host still restores
+        self.is_main = jax.process_index() == 0
         self.ckpt = CheckpointManager(f"{out_dir}/ckpt",
                                       cfg.train.max_to_keep)
         self.buf = MetricBuffer()
         self.console = ConsoleWriter(total_iters)
-        self.json_writer = JsonWriter(f"{out_dir}/metrics.json")
-        self.tb = TensorboardWriter(f"{out_dir}/tb")
+        self.json_writer = JsonWriter(f"{out_dir}/metrics.json") \
+            if self.is_main else None
+        self.tb = TensorboardWriter(f"{out_dir}/tb") \
+            if self.is_main else None
 
     def resume(self) -> int:
         self.state, start = self.ckpt.resume_or_load(self.state, resume=True)
@@ -71,12 +77,26 @@ class Trainer:
                               * cfg.train.checkpoint_period_epochs
                               / max(cfg.solver.total_epochs, 1)), 1)
 
+        prev = None  # (iter, total_loss array) — lag-1 NaN guard
         for it in range(start_iter, self.total_iters):
             # TRAIN2 stochastic mixing (engine.py:253-256)
             use2 = loader2 is not None and rng.rand() < train2_ratio
             batch = next(loader2 if use2 else loader)
             batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch)
+
+            # EVERY-iteration finiteness guard with one step of lag: step
+            # it-1 has finished by the time step it is dispatched, so the
+            # float() sync costs ~nothing, and a NaN can poison at most
+            # one optimizer step before the run stops (the reference
+            # asserts every iteration, engine.py:297; a log-period-only
+            # check would let NaN weights reach the next checkpoint)
+            if prev is not None:
+                p_it, p_total = prev
+                if not np.isfinite(float(p_total)):
+                    raise FloatingPointError(
+                        f"non-finite total loss at iter {p_it}")
+            prev = (it, metrics.get("total_loss"))
 
             if (it + 1) % cfg.train.log_period == 0 or it == start_iter:
                 host = {k: float(v) for k, v in metrics.items()}
@@ -87,10 +107,13 @@ class Trainer:
                 self.buf.update(host)
                 lr = float(self.schedule(it))
                 self.console.write(it + 1, self.buf, lr)
-                self.json_writer.write(it + 1, {**host, "lr": lr})
-                self.tb.write(it + 1, host)
+                if self.json_writer is not None:
+                    self.json_writer.write(it + 1, {**host, "lr": lr})
+                if self.tb is not None:
+                    self.tb.write(it + 1, host)
 
-            if (it + 1) % (cfg.train.log_period * 10) == 0:
+            if self.tb is not None \
+                    and (it + 1) % (cfg.train.log_period * 10) == 0:
                 # image panels: input rgb / depth-xyz / gt coords / masks
                 # (engine.py:331-367's TB visualization)
                 try:
@@ -107,7 +130,8 @@ class Trainer:
                 except Exception:  # vis must never kill training
                     pass
 
-            if (it + 1) % ckpt_period == 0 or (it + 1) == self.total_iters:
+            if self.is_main and ((it + 1) % ckpt_period == 0
+                                 or (it + 1) == self.total_iters):
                 self.ckpt.save(it + 1, jax.device_get(self.state))
             if eval_fn is not None and cfg.train.eval_period > 0 \
                     and (it + 1) % cfg.train.eval_period == 0:

@@ -36,11 +36,15 @@ def _load_native():
     so = os.path.join(os.path.dirname(__file__), "..", "csrc", "fps",
                       "libfps.so")
     so = os.path.abspath(so)
-    if not os.path.exists(so):
+    src = os.path.join(os.path.dirname(so), "fps.cpp")
+    if not os.path.exists(so) or (os.path.exists(src) and
+                                  os.path.getmtime(src)
+                                  > os.path.getmtime(so)):
+        # (re)build when missing OR the source is newer than the binary
         import subprocess
 
-        subprocess.run(["make", "-C", os.path.dirname(so)], check=False,
-                       capture_output=True)
+        subprocess.run(["make", "-C", os.path.dirname(so), "-B"],
+                       check=False, capture_output=True)
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)

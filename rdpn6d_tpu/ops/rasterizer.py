@@ -24,11 +24,15 @@ def _load():
     so = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
                                       "csrc", "rasterizer",
                                       "librasterizer.so"))
-    if not os.path.exists(so):
+    src = os.path.join(os.path.dirname(so), "rasterizer.cpp")
+    if not os.path.exists(so) or (os.path.exists(src) and
+                                  os.path.getmtime(src)
+                                  > os.path.getmtime(so)):
+        # (re)build when missing OR the source is newer than the binary
         import subprocess
 
-        subprocess.run(["make", "-C", os.path.dirname(so)], check=False,
-                       capture_output=True)
+        subprocess.run(["make", "-C", os.path.dirname(so), "-B"],
+                       check=False, capture_output=True)
     if not os.path.exists(so):
         raise RuntimeError(
             f"rasterizer library not built; run: make -C {os.path.dirname(so)}")

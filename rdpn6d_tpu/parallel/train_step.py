@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 from ..losses import compute_losses
 from ..models import RDPN
+from ..models.rdpn import _mask_prob
 
 
 class TrainState(struct.PyTreeNode):
@@ -54,9 +55,11 @@ def _dropblock_kwargs(cfg: Config, step: jax.Array) -> dict[str, Any]:
     }
 
 
-def make_train_step(cfg: Config, model: RDPN,
-                    tx: optax.GradientTransformation) -> Callable:
-    """Returns jitted (state, batch) -> (state, metrics)."""
+def _make_step_fn(cfg: Config, model: RDPN,
+                  tx: optax.GradientTransformation) -> Callable:
+    """The ONE train-step body (loss, grads, optimizer update, metrics);
+    make_train_step / make_sharded_train_step only differ in how it is
+    jitted."""
 
     def step_fn(state: TrainState, batch: dict[str, jax.Array]):
         def loss_fn(params):
@@ -81,7 +84,13 @@ def make_train_step(cfg: Config, model: RDPN,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def make_train_step(cfg: Config, model: RDPN,
+                    tx: optax.GradientTransformation) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics)."""
+    return jax.jit(_make_step_fn(cfg, model, tx), donate_argnums=(0,))
 
 
 def make_eval_step(cfg: Config, model: RDPN,
@@ -104,7 +113,11 @@ def make_eval_step(cfg: Config, model: RDPN,
         result = {
             "rot_ego": out["rot_ego"],
             "trans": out["trans"],
-            "mask_prob": out["mask_logits"][..., 0],
+            # a real PROBABILITY map (model_utils.get_mask_prob semantics):
+            # raw logits would make the Kabsch mask threshold select
+            # background for CE and the wrong operating point for BCE
+            "mask_prob": _mask_prob(out["mask_logits"],
+                                    cfg.head.mask_loss)[..., 0],
             "coord": out["coord"],
             "region_logits": out["region_logits"],
         }
@@ -133,32 +146,11 @@ def make_eval_step(cfg: Config, model: RDPN,
 def make_sharded_train_step(cfg: Config, model: RDPN,
                             tx: optax.GradientTransformation,
                             mesh: Mesh) -> Callable:
-    """Build the train step jitted directly with mesh shardings."""
-
-    def step_fn(state, batch):
-        def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"],
-                **_dropblock_kwargs(cfg, state.step))
-            losses = compute_losses(cfg, out, batch)
-            return sum(losses.values()), (losses, mutated["batch_stats"])
-
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats,
-                                  opt_state=new_opt_state)
-        metrics = dict(losses)
-        metrics["total_loss"] = total
-        return new_state, metrics
-
+    """The same step body jitted with mesh shardings (replicated state,
+    data-sharded batch; XLA inserts the gradient all-reduce)."""
     state_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
-    return jax.jit(step_fn,
+    return jax.jit(_make_step_fn(cfg, model, tx),
                    in_shardings=(state_sh, batch_sh),
                    out_shardings=(state_sh, state_sh),
                    donate_argnums=(0,))

@@ -38,13 +38,22 @@ class StepTimer:
         self.counts: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def measure(self, name: str, result=None):
+    def measure(self, name: str):
+        """``with timer.measure("step") as sync: out = f(x); sync(out)``.
+
+        Call the yielded ``sync`` on values produced INSIDE the block to
+        include their async device execution in the measurement (a value
+        bound at context creation could never cover work dispatched in
+        the body). Accounting runs even if the body raises."""
+        pending = []
         t0 = time.perf_counter()
-        yield
-        if result is not None:
-            jax.block_until_ready(result)
-        self.totals[name] += time.perf_counter() - t0
-        self.counts[name] += 1
+        try:
+            yield pending.append
+        finally:
+            for r in pending:
+                jax.block_until_ready(r)
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
 
     def summary(self) -> dict[str, float]:
         return {k: self.totals[k] / max(self.counts[k], 1)

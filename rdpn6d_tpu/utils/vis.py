@@ -75,8 +75,10 @@ def draw_pose_axes(img: np.ndarray, K: np.ndarray, R: np.ndarray,
     pts = np.float32([[0, 0, 0], [length, 0, 0], [0, length, 0],
                       [0, 0, length]])
     cam = pts @ R.T + t
+    if np.any(cam[:, 2] <= 1e-6):  # behind the camera: nothing to draw
+        return np.ascontiguousarray(img).copy()
     uv = (cam @ K.T)
-    uv = (uv[:, :2] / uv[:, 2:3]).astype(int)
+    uv = np.clip(uv[:, :2] / uv[:, 2:3], -1e6, 1e6).astype(int)
     out = np.ascontiguousarray(img).copy()
     for i, color in zip((1, 2, 3),
                         ((0, 0, 255), (0, 255, 0), (255, 0, 0))):
