@@ -15,7 +15,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..geometry.symmetry import pad_symmetries, symmetry_rotations
+from ..geometry.symmetry import (
+    pad_sym_trans,
+    pad_symmetries,
+    symmetry_transforms,
+)
 from ..ops.fps import get_fps_and_center
 from .inout import load_ply
 from .refs import DatasetRef
@@ -30,6 +34,9 @@ class ClassAssets:
     fps_points: np.ndarray    # [C, K, 3]
     sym_rots: np.ndarray      # [C, S, 3, 3] identity-padded
     diameters: np.ndarray     # [C]
+    # symmetry TRANSLATIONS [C, S, 3] (m), zero-padded; BOP symmetries are
+    # full 4x4 transforms — MSSD/MSPD need t, the PM loss only R
+    sym_trans: np.ndarray | None = None
     # FULL-dataset class index per asset row (what class-aware heads were
     # trained with — the subset position desyncs on partial splits);
     # None = assets cover the full dataset, positions coincide
@@ -39,6 +46,9 @@ class ClassAssets:
         i = self.obj_ids.index(obj_id)
         return {"points": self.points[i], "extent": self.extents[i],
                 "fps": self.fps_points[i], "sym_rots": self.sym_rots[i],
+                "sym_trans": self.sym_trans[i]
+                if self.sym_trans is not None
+                else np.zeros((self.sym_rots.shape[1], 3), np.float32),
                 "diameter": self.diameters[i]}
 
     def full_idx(self, obj_id: int) -> int:
@@ -86,7 +96,7 @@ def load_class_assets(ref: DatasetRef, num_regions: int = 32,
     except (FileNotFoundError, KeyError):
         fps_pkl = None
 
-    pts_l, ext_l, fps_l, sym_l, dia_l = [], [], [], [], []
+    pts_l, ext_l, fps_l, sym_l, symt_l, dia_l = [], [], [], [], [], []
     for oid in obj_ids:
         mi = info[str(oid)]
         ply = load_ply(os.path.join(model_dir, f"obj_{oid:06d}.ply"),
@@ -100,10 +110,12 @@ def load_class_assets(ref: DatasetRef, num_regions: int = 32,
         else:
             fps = get_fps_and_center(pts, num_regions)[:-1]
         fps_l.append(fps.astype(np.float32))
-        sym = symmetry_rotations(mi, max_sym_disc_step) \
-            if ("symmetries_discrete" in mi
-                or "symmetries_continuous" in mi) else None
+        if "symmetries_discrete" in mi or "symmetries_continuous" in mi:
+            sym, sym_t = symmetry_transforms(mi, max_sym_disc_step)
+        else:
+            sym, sym_t = None, None
         sym_l.append(sym)
+        symt_l.append(sym_t)
         dia_l.append(mi.get("diameter", 0.0) / 1000.0)
 
     return ClassAssets(
@@ -113,6 +125,8 @@ def load_class_assets(ref: DatasetRef, num_regions: int = 32,
         extents=np.stack(ext_l),
         fps_points=np.stack(fps_l),
         sym_rots=pad_symmetries(sym_l),
+        sym_trans=pad_sym_trans(
+            symt_l, max_syms=pad_symmetries(sym_l).shape[1]),
         diameters=np.asarray(dia_l, np.float32),
     )
 
@@ -131,5 +145,6 @@ def synthetic_class_assets(num_regions: int = 32,
         extents=np.array([[0.1, 0.1, 0.1]], np.float32),
         fps_points=fps[None],
         sym_rots=pad_symmetries([None]),
+        sym_trans=pad_sym_trans([None]),
         diameters=np.asarray([0.1 * np.sqrt(3)], np.float32),
     )

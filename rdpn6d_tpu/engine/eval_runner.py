@@ -401,6 +401,8 @@ def _bop19_scores(cfg: Config, ref: Any, records: list[dict],
               for oid in eval_assets.obj_ids}
     sym_rots = {oid: eval_assets.for_obj(oid)["sym_rots"]
                 for oid in eval_assets.obj_ids}
+    sym_trans = {oid: eval_assets.for_obj(oid)["sym_trans"]
+                 for oid in eval_assets.obj_ids}
     diameters = {oid: float(eval_assets.for_obj(oid)["diameter"])
                  or ref.diameter_m(oid) for oid in eval_assets.obj_ids}
     estimates = evaluator.bop_rows(ref.obj2id)
@@ -431,4 +433,4 @@ def _bop19_scores(cfg: Config, ref: Any, records: list[dict],
 
     return bop19_average_recalls(
         estimates, gts, targets, models, sym_rots, diameters,
-        im_width=ref.width, with_vsd=vsd_fn)
+        im_width=ref.width, with_vsd=vsd_fn, sym_trans=sym_trans)

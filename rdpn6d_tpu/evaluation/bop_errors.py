@@ -17,31 +17,43 @@ import numpy as np
 from ..geometry import project, transform_pts
 
 
+def _gt_sym_poses(R_gt, t_gt, sym_rots, sym_trans):
+    """Symmetry-equivalent GT poses: R = R_gt S_R, t = R_gt S_t + t_gt —
+    BOP symmetries are full 4x4 transforms (misc.py:206-254); dropping
+    S_t mis-places objects whose symmetry center is off-origin."""
+    R_gt_s = R_gt[..., None, :, :] @ sym_rots            # [..., S, 3, 3]
+    if sym_trans is None:
+        t_gt_s = jnp.broadcast_to(t_gt[..., None, :],
+                                  R_gt_s.shape[:-2] + (3,))
+    else:
+        t_gt_s = jnp.einsum("...ij,...sj->...si",
+                            R_gt, sym_trans) + t_gt[..., None, :]
+    return R_gt_s, t_gt_s
+
+
 def mssd(R_est: jax.Array, t_est: jax.Array, R_gt: jax.Array,
-         t_gt: jax.Array, pts: jax.Array, sym_rots: jax.Array) -> jax.Array:
+         t_gt: jax.Array, pts: jax.Array, sym_rots: jax.Array,
+         sym_trans: jax.Array | None = None) -> jax.Array:
     """Maximum symmetry-aware surface distance.
 
-    [...,3,3], [...,3], pts [...,N,3], sym_rots [...,S,3,3] (id-padded).
-    min over symmetries of max over points of the point distance.
+    [...,3,3], [...,3], pts [...,N,3], sym_rots [...,S,3,3] (id-padded),
+    sym_trans [...,S,3] (zero-padded; m). min over symmetries of max over
+    points of the point distance.
     """
     pe = transform_pts(pts, R_est, t_est)                # [..., N, 3]
-    R_gt_s = R_gt[..., None, :, :] @ sym_rots            # [..., S, 3, 3]
-    pg = transform_pts(pts[..., None, :, :], R_gt_s,
-                       jnp.broadcast_to(t_gt[..., None, :],
-                                        R_gt_s.shape[:-2] + (3,)))
+    R_gt_s, t_gt_s = _gt_sym_poses(R_gt, t_gt, sym_rots, sym_trans)
+    pg = transform_pts(pts[..., None, :, :], R_gt_s, t_gt_s)
     d = jnp.linalg.norm(pe[..., None, :, :] - pg, axis=-1)  # [..., S, N]
     return jnp.min(jnp.max(d, axis=-1), axis=-1)
 
 
 def mspd(R_est: jax.Array, t_est: jax.Array, R_gt: jax.Array,
          t_gt: jax.Array, pts: jax.Array, sym_rots: jax.Array,
-         K: jax.Array) -> jax.Array:
+         K: jax.Array, sym_trans: jax.Array | None = None) -> jax.Array:
     """Maximum symmetry-aware projection distance (pixels)."""
     pe = project(pts, K, R_est, t_est)                   # [..., N, 2]
-    R_gt_s = R_gt[..., None, :, :] @ sym_rots
-    pg = project(pts[..., None, :, :], K[..., None, :, :], R_gt_s,
-                 jnp.broadcast_to(t_gt[..., None, :],
-                                  R_gt_s.shape[:-2] + (3,)))
+    R_gt_s, t_gt_s = _gt_sym_poses(R_gt, t_gt, sym_rots, sym_trans)
+    pg = project(pts[..., None, :, :], K[..., None, :, :], R_gt_s, t_gt_s)
     d = jnp.linalg.norm(pe[..., None, :, :] - pg, axis=-1)
     return jnp.min(jnp.max(d, axis=-1), axis=-1)
 

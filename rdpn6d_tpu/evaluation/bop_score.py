@@ -143,18 +143,24 @@ def bop19_average_recalls(
     diameters: dict[int, float],
     im_width: int = 640,
     with_vsd: Callable | None = None,
+    sym_trans: dict[int, np.ndarray] | None = None,
 ) -> dict[str, float]:
     """MSSD/MSPD (and optional VSD) average recalls + combined AR."""
     import jax.numpy as jnp
 
     from .bop_errors import mspd as mspd_fn, mssd as mssd_fn
 
+    def _st(oid):
+        return None if sym_trans is None \
+            else jnp.asarray(sym_trans[oid])
+
     def e_mssd(est, gt):
         oid = gt["obj_id"]
         return float(mssd_fn(
             jnp.asarray(est["R"]), jnp.asarray(est["t"]),
             jnp.asarray(gt["R"]), jnp.asarray(gt["t"]),
-            jnp.asarray(models[oid]), jnp.asarray(sym_rots[oid])))
+            jnp.asarray(models[oid]), jnp.asarray(sym_rots[oid]),
+            sym_trans=_st(oid)))
 
     def e_mspd(est, gt):
         oid = gt["obj_id"]
@@ -162,7 +168,7 @@ def bop19_average_recalls(
             jnp.asarray(est["R"]), jnp.asarray(est["t"]),
             jnp.asarray(gt["R"]), jnp.asarray(gt["t"]),
             jnp.asarray(models[oid]), jnp.asarray(sym_rots[oid]),
-            jnp.asarray(gt["K"])))
+            jnp.asarray(gt["K"]), sym_trans=_st(oid)))
 
     # attach diameters for normalized thresholds
     for gt_list in gts.values():

@@ -22,24 +22,30 @@ import numpy as np
 from .rotations import angular_distance
 
 
-def symmetry_rotations(model_info: dict[str, Any],
-                       max_sym_disc_step: float = 0.01) -> np.ndarray:
-    """Discrete + discretized-continuous symmetry ROTATIONS for one model.
+def symmetry_transforms(model_info: dict[str, Any],
+                        max_sym_disc_step: float = 0.01
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Discrete + discretized-continuous symmetry TRANSFORMS for one model.
 
     model_info follows BOP models_info.json keys: ``symmetries_discrete``
-    (flattened 4x4 row-major) and ``symmetries_continuous`` ({axis, offset}).
-    Returns [K, 3, 3] float32 with the identity first. Translation offsets of
-    symmetries are dropped (the reference's PM loss also only uses R,
-    pm_loss.py:99-101).
+    (flattened 4x4 row-major, translation in MM) and
+    ``symmetries_continuous`` ({axis, offset}). Mirrors the BOP toolkit's
+    ``misc.get_symmetry_transformations`` (lib/pysixd/misc.py:206-254),
+    with the identity-continuous element re-added so the plain discrete
+    transforms survive the combination. Returns (rots [K,3,3],
+    trans [K,3]) float32, translations in METERS, identity first.
     """
-    disc = [np.eye(3, dtype=np.float64)]
+    disc = [(np.eye(3, dtype=np.float64), np.zeros(3))]
     for sym in model_info.get("symmetries_discrete", []):
-        disc.append(np.reshape(np.asarray(sym, dtype=np.float64), (4, 4))[:3, :3])
+        m = np.reshape(np.asarray(sym, dtype=np.float64), (4, 4))
+        disc.append((m[:3, :3], m[:3, 3] / 1000.0))
 
     cont = []
     for sym in model_info.get("symmetries_continuous", []):
         axis = np.asarray(sym["axis"], dtype=np.float64)
         axis = axis / np.linalg.norm(axis)
+        offset = np.asarray(sym.get("offset", (0, 0, 0)),
+                            dtype=np.float64).reshape(3) / 1000.0
         n_steps = int(math.ceil(math.pi / max_sym_disc_step))
         step = 2.0 * math.pi / n_steps
         for i in range(1, n_steps):
@@ -47,17 +53,30 @@ def symmetry_rotations(model_info: dict[str, Any],
             c, s = math.cos(a), math.sin(a)
             C = 1.0 - c
             x, y, z = axis
-            cont.append(np.array([
+            R = np.array([
                 [x * x * C + c, x * y * C - z * s, x * z * C + y * s],
                 [y * x * C + z * s, y * y * C + c, y * z * C - x * s],
                 [z * x * C - y * s, z * y * C + x * s, z * z * C + c],
-            ]))
+            ])
+            cont.append((R, -R @ offset + offset))
 
     if cont:
-        out = [Rc @ Rd for Rd in disc for Rc in [np.eye(3)] + cont]
+        out = [(Rc @ Rd, Rc @ td + tc)
+               for Rd, td in disc
+               for Rc, tc in [(np.eye(3), np.zeros(3))] + cont]
     else:
         out = disc
-    return np.stack(out).astype(np.float32)
+    rots = np.stack([r for r, _ in out]).astype(np.float32)
+    trans = np.stack([t for _, t in out]).astype(np.float32)
+    return rots, trans
+
+
+def symmetry_rotations(model_info: dict[str, Any],
+                       max_sym_disc_step: float = 0.01) -> np.ndarray:
+    """Rotation parts only — what the PM loss consumes (the reference's
+    get_closest_rot also only uses R, pm_loss.py:99-101). MSSD/MSPD need
+    the full transforms (:func:`symmetry_transforms`)."""
+    return symmetry_transforms(model_info, max_sym_disc_step)[0]
 
 
 def pad_symmetries(sym_list: list[np.ndarray | None],
@@ -71,6 +90,20 @@ def pad_symmetries(sym_list: list[np.ndarray | None],
              else np.asarray(s, dtype=np.float32) for s in sym_list]
     K = max_syms or max(b.shape[0] for b in banks)
     out = np.tile(np.eye(3, dtype=np.float32), (len(banks), K, 1, 1))
+    for i, b in enumerate(banks):
+        k = min(b.shape[0], K)
+        out[i, :k] = b[:k]
+    return out
+
+
+def pad_sym_trans(trans_list: list[np.ndarray | None],
+                  max_syms: int | None = None) -> np.ndarray:
+    """Zero-padded companion of :func:`pad_symmetries` for the symmetry
+    TRANSLATIONS: [num_classes, K_max, 3] float32 (meters)."""
+    banks = [np.zeros((1, 3), np.float32) if t is None or len(t) == 0
+             else np.asarray(t, dtype=np.float32) for t in trans_list]
+    K = max_syms or max(b.shape[0] for b in banks)
+    out = np.zeros((len(banks), K, 3), np.float32)
     for i, b in enumerate(banks):
         k = min(b.shape[0], K)
         out[i, :k] = b[:k]

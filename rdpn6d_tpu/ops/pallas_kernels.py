@@ -59,11 +59,13 @@ def min_dist2_pallas(a: jax.Array, b: jax.Array,
     """For each a-point the min squared distance to any b-point.
 
     a [N, D], b [M, D] -> [N] float32. Pads internally to tile multiples
-    (pad b rows sit at +1e3 so they never win the min).
+    (pad b rows sit at +1e9 — squared, 1e18, is comfortably inside f32 —
+    so they can never win the min even for mm-unit clouds, matching
+    pose_error.adi's sentinel).
     """
     n = a.shape[0]
     a_p = _pad_rows(a.astype(jnp.float32), _TN, 0.0)
-    b_p = _pad_rows(b.astype(jnp.float32), _TM, 1e3)
+    b_p = _pad_rows(b.astype(jnp.float32), _TM, 1e9)
     grid = a_p.shape[0] // _TN
 
     out = pl.pallas_call(

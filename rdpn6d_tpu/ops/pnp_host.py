@@ -28,15 +28,21 @@ def pnp_ransac(points_3d: np.ndarray, points_2d: np.ndarray,
         ok, rvec, tvec = cv2.solvePnP(p3, p2, K.astype(np.float64), dist,
                                       flags=cv2.SOLVEPNP_ITERATIVE)
     else:
-        ok, rvec, tvec, _ = cv2.solvePnPRansac(
+        ok, rvec, tvec, inliers = cv2.solvePnPRansac(
             p3, p2, K.astype(np.float64), dist,
             flags=cv2.SOLVEPNP_EPNP,
             reprojectionError=reprojection_error,
             iterationsCount=iterations)
-        if ok:  # iterative refinement on inliers (pnp_v2 behavior)
-            ok2, rvec, tvec = cv2.solvePnP(
-                p3, p2, K.astype(np.float64), dist, rvec, tvec,
+        if ok and inliers is not None and len(inliers) >= 4:
+            # iterative refinement on the INLIERS (pnp_v2 behavior,
+            # misc.py:145-195) — refining on all points would pull the
+            # pose back toward the outliers RANSAC just rejected
+            sel = inliers.reshape(-1)
+            ok2, rvec2, tvec2 = cv2.solvePnP(
+                p3[sel], p2[sel], K.astype(np.float64), dist, rvec, tvec,
                 useExtrinsicGuess=True, flags=cv2.SOLVEPNP_ITERATIVE)
+            if ok2:
+                rvec, tvec = rvec2, tvec2
     if not ok:
         return np.eye(3), np.zeros(3)
     R = cv2.Rodrigues(rvec)[0]
@@ -45,16 +51,21 @@ def pnp_ransac(points_3d: np.ndarray, points_2d: np.ndarray,
 
 def correspondences_from_maps(coord_model: np.ndarray, mask: np.ndarray,
                               bbox_center: np.ndarray, scale: float,
-                              out_res: int = 64, max_points: int = 2000,
+                              out_res: int | None = None,
+                              max_points: int = 2000,
                               seed: int = 0
                               ) -> tuple[np.ndarray, np.ndarray]:
     """Dense-map -> (points_3d, points_2d) in ORIGINAL image pixels.
 
     coord_model [H, W, 3] model-frame coordinates at head resolution; the
     2D pixel of map cell (r, c) is the inverse of the crop affine
-    (gdrn_evaluator.py:89-126).
+    (gdrn_evaluator.py:89-126). ``out_res`` defaults to the map's own
+    resolution — a mismatched explicit value would silently scale the 2D
+    points wrong.
     """
     H, W = mask.shape
+    if out_res is None:
+        out_res = H
     ys, xs = np.nonzero(mask > 0)
     if len(xs) == 0:
         return np.zeros((0, 3)), np.zeros((0, 2))

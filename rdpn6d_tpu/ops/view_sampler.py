@@ -41,7 +41,12 @@ def icosphere_views(min_views: int, radius: float = 1.0,
         [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64)
     verts /= np.linalg.norm(verts, axis=1, keepdims=True)
 
-    while len(verts) < min_views:
+    # with hemisphere the z>=0 filter keeps roughly half the vertices, so
+    # subdivide until the FILTERED count satisfies the contract
+    def _n_kept(v):
+        return int(np.sum(v[:, 2] >= -1e-9)) if hemisphere else len(v)
+
+    while _n_kept(verts) < min_views:
         edge_mid: dict[tuple[int, int], int] = {}
         new_faces = []
         verts_l = verts.tolist()

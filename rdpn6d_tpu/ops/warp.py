@@ -11,7 +11,9 @@ scale-and-translate:
 
 so the crop is implemented as a vmappable gather-based resampler instead of a
 host cv2.warpAffine call. Bilinear matches cv2.INTER_LINEAR with
-BORDER_CONSTANT(0); nearest matches cv2.INTER_NEAREST (round-half-up).
+BORDER_CONSTANT(0); nearest matches cv2.INTER_NEAREST, whose cvRound
+is round-half-to-EVEN (banker's rounding, pinned exactly by
+tests/test_pipeline.py::test_nearest_crop_tie_rounding_matches_cv2_exactly).
 Pixel centers sit at integer coordinates (cv2 convention).
 """
 

@@ -81,3 +81,28 @@ def test_vsd_wrong_pose_high(cube_mesh):
     errs = vsd(R, t_est, R, t_gt, depth_scene, K, verts, faces,
                diameter=0.1 * np.sqrt(3))
     assert errs[0] > 0.9
+
+
+def test_mssd_respects_symmetry_translation():
+    """BOP symmetries are full 4x4 transforms: a pose equal to the
+    symmetry-equivalent (R_gt S_R, R_gt S_t + t_gt) must score ~0 only
+    when the translation part is carried (round-2 fix: S_t was dropped)."""
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(64, 3).astype(np.float32) * 0.05)
+    R_gt = jnp.eye(3)
+    t_gt = jnp.asarray([0.0, 0.0, 0.6])
+    S_R = jnp.asarray(np.diag([-1.0, -1.0, 1.0]).astype(np.float32))
+    S_t = jnp.asarray([0.02, 0.0, 0.0])   # symmetry center off-origin
+    sym_rots = jnp.stack([jnp.eye(3), S_R])
+    sym_trans = jnp.stack([jnp.zeros(3), S_t])
+
+    R_est = R_gt @ S_R
+    t_est = R_gt @ S_t + t_gt
+
+    from rdpn6d_tpu.evaluation.bop_errors import mssd
+
+    with_t = float(mssd(R_est, t_est, R_gt, t_gt, pts, sym_rots,
+                        sym_trans=sym_trans))
+    without_t = float(mssd(R_est, t_est, R_gt, t_gt, pts, sym_rots))
+    assert with_t < 1e-6
+    assert without_t > 0.01  # dropping S_t mis-places by ~2 cm

@@ -14,6 +14,8 @@ import argparse
 import hashlib
 import os
 import pickle
+
+import numpy as np
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -38,7 +40,9 @@ def main():
             "batch_stats": state.get("batch_stats", {}),
             "step": step}
 
-    blob = pickle.dumps(jax.tree_util.tree_map(lambda x: x, slim))
+    # materialize leaves as plain numpy: a release pickle must not
+    # require jax (or allocate on a device) to unpickle
+    blob = pickle.dumps(jax.tree_util.tree_map(np.asarray, slim))
     sha = hashlib.sha256(blob).hexdigest()[:8]
     os.makedirs(args.out, exist_ok=True)
     out_path = os.path.join(args.out, f"model_{step}_{sha}.pkl")
