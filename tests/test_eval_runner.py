@@ -306,3 +306,95 @@ def test_score_csv_rescores_run_eval_output(full_dataset, monkeypatch,
     score_csv.main()
     out = capsys.readouterr().out
     assert "ape" in out and "MEAN" in out
+
+
+def test_run_eval_multi_instance_frames_split_across_batches(
+        tmp_path, monkeypatch):
+    """Images with several instances + a batch size that forces one
+    image's ROIs to span two batches: frame dedup, flush logic, and
+    per-instance scoring must all hold (n_rois == total instances)."""
+    import cv2
+
+    root = tmp_path / "bop_multi"
+    ds = root / "lm"
+    sdir = ds / "test" / "000001"
+    (sdir / "rgb").mkdir(parents=True)
+    (sdir / "depth").mkdir()
+    (sdir / "mask_visib").mkdir()
+    for oid in (1, 5):  # ape + can
+        write_cube_ply(str(ds / "models" / f"obj_{oid:06d}.ply"))
+    info = {str(oid): {"diameter": 100 * np.sqrt(3), "size_x": 100.0,
+                       "size_y": 100.0, "size_z": 100.0}
+            for oid in (1, 5)}
+    (ds / "models" / "models_info.json").write_text(json.dumps(info))
+
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]])
+    rng = np.random.RandomState(7)
+    scene_gt, scene_cam, scene_info = {}, {}, {}
+    for im_id in range(3):  # 3 images x 2 instances = 6 ROIs
+        gts, infos = [], []
+        depth_full = np.zeros((480, 640), np.float32)
+        for k, oid in enumerate((1, 5)):
+            R = cv2.Rodrigues(rng.randn(3) * 0.5)[0]
+            t = np.array([-0.08 + 0.16 * k, 0.0, 0.7])
+            depth, _ = render_cube_depth(R, t, K, 480, 640)
+            m = depth > 0
+            depth_full = np.where(m & ((depth_full == 0)
+                                       | (depth < depth_full)),
+                                  depth, depth_full)
+            cv2.imwrite(str(sdir / "mask_visib"
+                            / f"{im_id:06d}_{k:06d}.png"),
+                        m.astype(np.uint8) * 255)
+            ys, xs = np.nonzero(m)
+            gts.append({"cam_R_m2c": R.flatten().tolist(),
+                        "cam_t_m2c": (t * 1000).tolist(),
+                        "obj_id": oid})
+            infos.append({"bbox_visib": [int(xs.min()), int(ys.min()),
+                                         int(xs.max() - xs.min()),
+                                         int(ys.max() - ys.min())],
+                          "visib_fract": 1.0})
+        mask_im = (depth_full > 0).astype(np.uint8) * 255
+        cv2.imwrite(str(sdir / "rgb" / f"{im_id:06d}.png"),
+                    np.dstack([mask_im] * 3))
+        cv2.imwrite(str(sdir / "depth" / f"{im_id:06d}.png"),
+                    (depth_full * 1000).astype(np.uint16))
+        scene_gt[str(im_id)] = gts
+        scene_cam[str(im_id)] = {"cam_K": K.flatten().tolist(),
+                                 "depth_scale": 1.0}
+        scene_info[str(im_id)] = infos
+    (sdir / "scene_gt.json").write_text(json.dumps(scene_gt))
+    (sdir / "scene_camera.json").write_text(json.dumps(scene_cam))
+    (sdir / "scene_gt_info.json").write_text(json.dumps(scene_info))
+
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(root))
+    register_split(Split("multi_inst_eval", "lm", "test", scene_ids=(1,),
+                         filter_invalid=False))
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+        f'train.output_dir="{tmp_path}"',
+    ])
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.engine.eval_runner import run_eval
+    from rdpn6d_tpu.models import RDPN
+
+    # batch_size=3 with 2 instances/frame: the second image's ROIs span
+    # batch boundaries
+    result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      allow_random_init=True,
+                      split_name="multi_inst_eval", batch_size=3,
+                      model=RDPN(cfg, dtype=jnp.float32),
+                      csv_path=str(tmp_path / "multi.csv"))
+    assert result["stats"]["n_rois"] == 6
+    assert set(result["per_obj"]) == {"ape", "can"}
+    csv = (tmp_path / "multi.csv").read_text().strip().splitlines()
+    assert len(csv) == 7  # header + 6 rows
+    # BOP toolkit contract: ONE time value per (scene, image)
+    import collections
+    times = collections.defaultdict(set)
+    for ln in csv[1:]:
+        f = ln.split(",")
+        times[(f[0], f[1])].add(f[-1])
+    assert all(len(v) == 1 for v in times.values()), times
