@@ -66,7 +66,8 @@ def get_config(variant: str) -> Config:
                          f"objects: {ref.objects}")
     train = [t.format(obj=obj) for t in train_t]
     test = test_t.format(obj=obj)
-    for name in (*train, test):
+    t2_name = train2[0].format(obj=obj) if train2 is not None else None
+    for name in (*train, test, *( [t2_name] if t2_name else [] )):
         get_split(name)  # fail fast on unknown split
 
     opts = [
@@ -85,9 +86,8 @@ def get_config(variant: str) -> Config:
         f'train.output_dir="output/{dataset}SO/{obj}"',
     ]
     if train2 is not None:
-        t2, ratio = train2
         opts += [
-            f'data.train2_datasets=["{t2.format(obj=obj)}"]',
-            f"data.train2_ratio={ratio}",
+            f'data.train2_datasets=["{t2_name}"]',
+            f"data.train2_ratio={train2[1]}",
         ]
     return Config(exp_name=f"{dataset}SO_{obj}").apply_opts(opts)

@@ -202,7 +202,12 @@ class Config:
         """CLI dotted overrides: ``solver.base_lr=3e-4 head.num_regions=16``."""
         cfg = self
         for opt in opts:
-            key, _, raw = opt.partition("=")
+            key, sep, raw = opt.partition("=")
+            if not sep:
+                # a dropped "=value" would otherwise silently assign ""
+                # (e.g. "solver.amp" turning amp falsy with no diagnostic)
+                raise ValueError(f"malformed opt {opt!r}: expected "
+                                 "section.key=value")
             parts = key.strip().split(".")
             try:
                 value = json.loads(raw)

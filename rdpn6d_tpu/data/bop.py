@@ -259,7 +259,10 @@ def build_split_records(split: Split, cache_dir: str | None = None,
                         flatten: bool = True) -> list[dict]:
     """Parse scene_gt/scene_camera/scene_gt_info into instance records."""
     ref = get_ref(split.ref_name)
-    cache_key = hashlib.md5(repr(split).encode()).hexdigest()[:12]
+    # the key covers the dataset ROOT too: records bake absolute paths, so
+    # a cache written under a different RDPN6D_DATA_ROOT must not be served
+    cache_key = hashlib.md5(
+        (repr(split) + "\0" + ref.root).encode()).hexdigest()[:12]
     if cache_dir:
         cache_path = os.path.join(
             cache_dir, f"{split.name}_{cache_key}_{int(flatten)}.pkl")
@@ -277,11 +280,37 @@ def build_split_records(split: Split, cache_dir: str | None = None,
         records = _build_blender_records(split, ref, sel_objs)
     else:
         records = _build_bop_records(split, ref, sel_objs, flatten)
+    if not flatten and ref.layout != "bop":
+        # non-bop builders emit flat per-instance records; honor the
+        # per-image contract by grouping post-hoc
+        records = _group_per_image(records)
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         with open(cache_path, "wb") as f:
             pickle.dump(records, f)
     return records
+
+
+_INSTANCE_KEYS = ("obj_id", "cls_idx", "R", "t", "visib_fract",
+                  "bbox_visib", "bbox_mode", "mask_visib_path",
+                  "label_obj_id", "xyz_path", "inst_idx")
+
+
+def _group_per_image(flat: list[dict]) -> list[dict]:
+    """Flat per-instance records -> per-image records with an
+    ``instances`` list (the flatten=False contract for builders that only
+    produce flat records)."""
+    by_im: dict[tuple[int, int], dict] = {}
+    for rec in flat:
+        key = (rec["scene_id"], rec["im_id"])
+        inst = {k: rec[k] for k in _INSTANCE_KEYS if k in rec}
+        if key not in by_im:
+            image = {k: v for k, v in rec.items()
+                     if k not in _INSTANCE_KEYS}
+            image["instances"] = []
+            by_im[key] = image
+        by_im[key]["instances"].append(inst)
+    return list(by_im.values())
 
 
 def _build_bop_records(split: Split, ref: DatasetRef, sel_objs: set[str],
@@ -496,10 +525,13 @@ def _register_defaults() -> None:
     # ``train`` image directory.
     register_split(Split("lm_13_train", "lm", "test", objs=LM13_OBJECTS,
                          per_obj_index="image_set/{obj}_train.txt"))
+    # classic LM-13 protocol: the FULL per-object image_set test lists
+    # (lm_dataset_d2.py) — BOP19 target filtering would silently shrink
+    # the eval set vs the reference tables. (Use lmo_bop_test/ycbv_test
+    # for the BOP19-protocol numbers.)
     register_split(Split("lm_13_test", "lm", "test", objs=LM13_OBJECTS,
                          per_obj_index="image_set/{obj}_test.txt",
-                         filter_invalid=False,
-                         targets_file="test_targets_bop19.json"))
+                         filter_invalid=False))
     # synthetic imgn renders (lm_syn_imgn.py:290-320); flagship LM config
     # trains on lm_13_train + this at 1k images per object
     register_split(Split("lm_imgn_13_train_1k_per_obj", "lm_imgn", "imgn",
@@ -547,26 +579,28 @@ def _register_defaults() -> None:
                          "train_primesense", scene_ids=tuple(range(1, 31))))
     register_split(Split("tless_bop_test", "tless", "test_primesense",
                          scene_ids=tuple(range(1, 21)),
+                         filter_invalid=False,
                          targets_file="test_targets_bop19.json"))
     register_split(Split("itodd_pbr_train", "itodd", "train_pbr",
                          scene_ids=tuple(range(50))))
-    register_split(Split("itodd_bop_test", "itodd", "test",
-                         scene_ids=(1,),
-                         targets_file="test_targets_bop19.json"))
+    # BOP withholds itodd/hb TEST GT; local evaluation uses the val
+    # scenes (the test CSV for submission can still be produced from
+    # detections without GT)
+    register_split(Split("itodd_bop_test", "itodd", "val",
+                         scene_ids=(1,), filter_invalid=False))
     register_split(Split("hb_pbr_train", "hb", "train_pbr",
                          scene_ids=tuple(range(50))))
-    register_split(Split("hb_bop_test", "hb", "test_primesense",
-                         scene_ids=(3, 5, 13),
-                         targets_file="test_targets_bop19.json"))
+    register_split(Split("hb_bop_test", "hb", "val_primesense",
+                         scene_ids=(3, 5, 13), filter_invalid=False))
     register_split(Split("tudl_train_real", "tudl", "train_real",
                          scene_ids=(1, 2, 3)))
     register_split(Split("tudl_bop_test", "tudl", "test",
-                         scene_ids=(1, 2, 3),
+                         scene_ids=(1, 2, 3), filter_invalid=False,
                          targets_file="test_targets_bop19.json"))
     register_split(Split("icbin_pbr_train", "icbin", "train_pbr",
                          scene_ids=tuple(range(50))))
     register_split(Split("icbin_bop_test", "icbin", "test",
-                         scene_ids=(1, 2, 3),
+                         scene_ids=(1, 2, 3), filter_invalid=False,
                          targets_file="test_targets_bop19.json"))
     # LM PBR renders (reference lm_pbr.py: BOP train_pbr scenes 0-49 with
     # a shared xyz_crop tree — covered by the layout fallbacks)

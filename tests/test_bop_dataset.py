@@ -160,3 +160,36 @@ def test_ycb_style_records(tmp_path, monkeypatch):
 def get_split_safe(name):
     from rdpn6d_tpu.data.bop import get_split
     return get_split(name)
+
+
+def test_ycb_style_flatten_false_groups_per_image(tmp_path, monkeypatch):
+    """flatten=False must yield per-image records with an instances list
+    for NON-bop layouts too (round-2 fix: builders ignored the flag)."""
+    import cv2
+    from scipy.io import savemat
+
+    root = tmp_path / "bopg"
+    sdir = root / "mp6d" / "data" / "0001"
+    sdir.mkdir(parents=True)
+    K = np.array([[567.5, 0, 312.7], [0, 569.4, 257.2], [0, 0, 1]])
+    cv2.imwrite(str(sdir / "000000-color.png"), np.zeros((4, 4, 3),
+                                                         np.uint8))
+    cv2.imwrite(str(sdir / "000000-depth.png"),
+                np.full((4, 4), 900, np.uint16))
+    cv2.imwrite(str(sdir / "000000-label.png"), np.zeros((4, 4), np.uint8))
+    savemat(str(sdir / "000000-meta.mat"), {
+        "cls_indexes": np.array([[3, 5]]),
+        "poses": np.dstack([np.hstack([np.eye(3),
+                                       np.array([[0.0], [0.0], [600.0]])])
+                            for _ in range(2)]),
+        "intrinsic_matrix": K,
+        "factor_depth": np.array([[1.0]]),
+    })
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(root))
+    from rdpn6d_tpu.data.bop import register_split
+    register_split(Split("mp6d_group_t", "mp6d", "data", scene_ids=(1,)))
+    recs = build_split_records(get_split_safe("mp6d_group_t"),
+                               flatten=False)
+    assert len(recs) == 1
+    assert [i["obj_id"] for i in recs[0]["instances"]] == [3, 5]
+    assert "obj_id" not in recs[0]  # image-level fields only
