@@ -158,6 +158,9 @@ class SolverConfig:
     warmup_factor: float = 0.001
     max_grad_norm: float = 0.0      # 0 = off
     amp: bool = True                # bf16 compute
+    remat: bool = False             # rematerialize trunk+head activations
+    # in the backward pass (jax.checkpoint): trades ~30% extra FLOPs for
+    # roughly half the activation memory — enables larger train batches
 
 
 @dataclass(frozen=True)

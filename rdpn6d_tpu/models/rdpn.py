@@ -59,13 +59,20 @@ class RDPN(nn.Module):
         depth_xyz = roi_img[..., 3:6]
 
         # trunk on RGB; XYZ joins at 32x32 via the pointnet fusion
-        trunk = ResNetTrunk(cfg.backbone.depth, dtype=self.dtype,
-                            int8=self._int8_trunk, name="backbone")
+        # solver.remat: lifted jax.checkpoint around the FLOPs-heavy
+        # modules — activations are recomputed in the backward pass
+        # instead of stored, roughly halving train memory (nn.remat
+        # preserves the parameter tree, so checkpoints interchange)
+        trunk_cls = nn.remat(ResNetTrunk, static_argnums=(2, 3)) \
+            if cfg.solver.remat else ResNetTrunk
+        trunk = trunk_cls(cfg.backbone.depth, dtype=self.dtype,
+                          int8=self._int8_trunk, name="backbone")
+        # train/return_skips positional: static under nn.remat
         if cfg.backbone.rot_concat:
-            feat, skips = trunk(rgb, train=train, return_skips=True)
+            feat, skips = trunk(rgb, train, True)
             skip64, skip32 = skips[0], skips[1]  # [B,64,64,*], [B,32,32,*]
         else:
-            feat = trunk(rgb, train=train)                      # [B,8,8,512]
+            feat = trunk(rgb, train, False)                     # [B,8,8,512]
             skip64 = skip32 = None
         if cfg.backbone.freeze:  # frozen-backbone option (GDRN FREEZE)
             feat = jax.lax.stop_gradient(feat)
@@ -85,7 +92,9 @@ class RDPN(nn.Module):
                                     axis=-1)
 
         nc = head_cfg.num_classes
-        mask_logits, coord_out, region_logits = DenseHead(
+        head_cls = nn.remat(DenseHead, static_argnums=(2,)) \
+            if cfg.solver.remat else DenseHead
+        mask_logits, coord_out, region_logits = head_cls(
             mask_dim=head_cfg.mask_dim * (nc if head_cfg.mask_class_aware
                                           else 1),
             coord_dim=head_cfg.coord_dim * (nc if head_cfg.rot_class_aware
@@ -99,7 +108,9 @@ class RDPN(nn.Module):
             dtype=self.dtype,
             int8=self._int8_head,
             name="dense_head",
-        )(fused, train=train, skip64=skip64)
+            # train is positional: under nn.remat it must be a STATIC
+            # argument (it selects batch-norm mode)
+        )(fused, train, skip64=skip64)
 
         # class-aware channel selection (GDRN.py:166-190)
         def select_class(x, dim):

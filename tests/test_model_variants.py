@@ -114,3 +114,23 @@ def test_dropblock_train_step():
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["total_loss"]))
     assert int(state.step) == 2
+
+
+def test_remat_identical_forward_and_params():
+    """solver.remat wraps trunk+head in nn.remat: same params, same
+    outputs, lower train memory (activation recompute)."""
+    opts = ["backbone.depth=18", "backbone.input_res=64",
+            "head.out_res=16", "head.num_regions=4",
+            "head.num_filters=32", "data.input_res=64", "data.out_res=16"]
+    cfg0 = Config().apply_opts(opts)
+    cfg1 = Config().apply_opts(opts + ["solver.remat=true"])
+    b = dummy_batch(cfg0, 2)
+    m0 = RDPN(cfg0, dtype=jnp.float32)
+    m1 = RDPN(cfg1, dtype=jnp.float32)
+    v = m0.init(jax.random.PRNGKey(0), b, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), b, train=False))
+    o0 = m0.apply(v, b, train=False)
+    o1 = m1.apply(v, b, train=False)
+    np.testing.assert_allclose(np.asarray(o0["rot_ego"]),
+                               np.asarray(o1["rot_ego"]), atol=1e-6)
