@@ -1,7 +1,12 @@
-"""MP6D metallic-parts experiment.
+"""MP6D metallic-parts experiment (multi-class, configs/gdrn/mp6d/a.py:
+25 epochs, batch 24, Ranger 1e-4, DZI pad 1.5, truncate-fg + bg replace
+0.5, gt test bboxes).
 
-Counterpart of configs/gdrn/mp6d/a.py: 25 epochs, batch 24, Ranger 1e-4,
-DZI pad 1.5, truncate-fg + bg replace 0.5, gt test bboxes.
+NOTE: the reference's published MP6D table (readme.md:259-263) trains ONE
+model PER OBJECT (configs/gdrn/mp6dSO/obj_XX.py). To reproduce that
+protocol here:
+
+    python tools/train_so_family.py --dataset mp6d
 """
 
 from rdpn6d_tpu.config import Config
