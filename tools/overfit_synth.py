@@ -70,6 +70,23 @@ def build_scenes(cfg, n_views, num_regions, seed=0):
     return batch, pts, poses
 
 
+def _cube_sym_rotations() -> np.ndarray:
+    """All 24 proper rotations of the cube (the octahedral group):
+    signed axis permutations with determinant +1."""
+    import itertools
+
+    rots = []
+    for perm in itertools.permutations(range(3)):
+        for signs in itertools.product((1.0, -1.0), repeat=3):
+            R = np.zeros((3, 3), np.float32)
+            for i, (p, s) in enumerate(zip(perm, signs)):
+                R[i, p] = s
+            if np.linalg.det(R) > 0:
+                rots.append(R)
+    assert len(rots) == 24
+    return np.stack(rots)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
@@ -129,9 +146,12 @@ def main():
     for tag, eval_model, use_kabsch in modes:
         eval_step = make_eval_step(cfg, eval_model, use_kabsch=use_kabsch)
         out = eval_step(state, batch)
+        # the training cube is a 24-fold-symmetric solid: score rotations
+        # sym-aware so re/proj are meaningful (pure-geometry refinement
+        # may legitimately settle on a symmetry-equivalent orientation)
         ev = PoseEvaluator(models={"cube": model_pts},
                            diameters={"cube": float(0.1 * np.sqrt(3))},
-                           sym_rots={"cube": None})
+                           sym_rots={"cube": _cube_sym_rotations()})
         for i, (R, t) in enumerate(poses):
             ev.process("cube", np.asarray(out["rot_ego"][i]),
                        np.asarray(out["trans"][i]), R, t,
