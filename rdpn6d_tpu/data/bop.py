@@ -320,6 +320,12 @@ def _build_bop_records(split: Split, ref: DatasetRef, sel_objs: set[str],
     records = []
     for scene_id, im_sel, obj_filter in _scene_plan(split, ref):
         sdir = _scene_dir(ref, split.subdir, scene_id)
+        if not os.path.isdir(sdir):
+            # partial trees are common (subset downloads, fixtures); the
+            # ycb_style planner skips missing scene dirs too
+            logger.warning(f"{split.name}: scene dir missing, skipping: "
+                           f"{sdir}")
+            continue
         gt = load_scene_gt(os.path.join(sdir, "scene_gt.json"))
         cams = load_scene_camera(os.path.join(sdir, "scene_camera.json"))
         info_path = os.path.join(sdir, "scene_gt_info.json")
