@@ -58,13 +58,32 @@ def attach_detections(records: list[dict[str, Any]],
 
     Records without a detection for their object are dropped (the reference
     logs and skips, dataset_utils.py:117-186). Detections are assigned to
-    DISTINCT GT records of the same (scene, im, obj) by descending score —
-    one prediction row per detection, never one per (detection x GT
-    instance), which would double-count on duplicate-instance images.
+    DISTINCT GT records of the same (scene, im, obj) greedily by bbox IoU
+    in descending score order — one prediction row per detection, never one
+    per (detection x GT instance), and on duplicate-instance images each
+    detection lands on the GT instance it actually overlaps (so the classic
+    per-instance metrics score against the right R_gt/t_gt; the BOP19
+    scorer re-matches and is insensitive to this).
     """
     by_key: dict[tuple[int, int, int], list[dict]] = defaultdict(list)
     for rec in records:
         by_key[(rec["scene_id"], rec["im_id"], rec["obj_id"])].append(rec)
+
+    def _gt_xyxy(rec) -> np.ndarray:
+        b = rec.get("bbox_visib")
+        if b is None:  # no GT bbox: IoU 0 -> falls back to score order
+            return np.zeros(4, np.float32)
+        b = np.asarray(b, np.float32)
+        if rec.get("bbox_mode", "xywh") == "xywh":
+            b = np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]], np.float32)
+        return b
+
+    def _iou(a: np.ndarray, b: np.ndarray) -> float:
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1])
+        return float(inter / max(ua - inter, 1e-9))
 
     out = []
     for (scene_id, im_id, obj_id), recs in by_key.items():
@@ -72,9 +91,15 @@ def attach_detections(records: list[dict[str, Any]],
         cands = sorted(
             (d for d in dets
              if d["obj_id"] == obj_id and d["score"] >= score_thr),
-            key=lambda d: -d["score"])[:max(topk_per_obj, len(recs))]
-        for d, rec in zip(cands, recs):
-            r = dict(rec)
+            key=lambda d: -d["score"])[:topk_per_obj]
+        gt_boxes = [_gt_xyxy(r) for r in recs]
+        free = list(range(len(recs)))
+        for d in cands:
+            if not free:
+                break
+            best = max(free, key=lambda i: _iou(d["bbox"], gt_boxes[i]))
+            free.remove(best)
+            r = dict(recs[best])
             r["bbox_visib"] = d["bbox"]
             r["bbox_mode"] = "xyxy"  # det bboxes are already converted
             r["det_score"] = d["score"]

@@ -83,14 +83,19 @@ class RecordDecoder:
         self.rng = np.random.RandomState(seed)
         self._bg_files: list[str] | None = None
 
-    def _record_rng(self, rec: dict[str, Any]) -> np.random.RandomState:
-        """Deterministic per-record stream: reproducible regardless of
-        decode-thread interleaving (the shared RandomState would make
-        change_bg/truncate draws depend on thread scheduling)."""
+    def _record_rng(self, rec: dict[str, Any],
+                    visit: int = 0) -> np.random.RandomState:
+        """Deterministic per-(record, visit) stream: reproducible regardless
+        of decode-thread interleaving (the shared RandomState would make
+        change_bg/truncate draws depend on thread scheduling), while the
+        visit counter re-rolls augmentation on every epoch pass — matching
+        the reference, which draws fresh randomness per __getitem__ visit
+        (base_data_loader.py:320-364)."""
         mix = (self.seed * 1_000_003
                + int(rec.get("scene_id", 0)) * 10_007
                + int(rec.get("im_id", 0)) * 101
-               + int(rec.get("inst_idx", 0))) & 0x7FFFFFFF
+               + int(rec.get("inst_idx", 0))
+               + int(visit) * 97_002_121) & 0x7FFFFFFF
         return np.random.RandomState(mix)
 
     def _random_bg(self, H: int, W: int,
@@ -120,7 +125,8 @@ class RecordDecoder:
         bg = cv2.cvtColor(bg, cv2.COLOR_BGR2RGB)
         return cv2.resize(bg, (W, H)).astype(np.float32)
 
-    def __call__(self, rec: dict[str, Any]) -> dict[str, np.ndarray]:
+    def __call__(self, rec: dict[str, Any],
+                 visit: int = 0) -> dict[str, np.ndarray]:
         H, W = rec["height"], rec["width"]
         rgb = _imread_rgb(rec["rgb_path"])
         depth = _imread_depth(rec["depth_path"], rec["depth_factor"])
@@ -175,7 +181,7 @@ class RecordDecoder:
         # the truncated mask feeds mask_trunc (data_loader.py:843-848)
         mask_trunc = mask_visib
         d = self.cfg.data
-        rng = self._record_rng(rec)
+        rng = self._record_rng(rec, visit)
         if self.train and d.change_bg_prob > 0 \
                 and rng.rand() < d.change_bg_prob:
             bg = self._random_bg(H, W, rng)
@@ -282,9 +288,9 @@ def train_frame_iterator(cfg: Config, split_name: str | list[str],
 
     q: queue.Queue = queue.Queue(maxsize=num_prefetch)
 
-    def _decode_one(rec):
+    def _decode_one(rec, visit):
         try:
-            return decoder(rec)
+            return decoder(rec, visit=visit)
         except (FileNotFoundError, OSError, SkipRecord):
             return None  # skip unreadable frames (reference _rand_another)
 
@@ -294,19 +300,25 @@ def train_frame_iterator(cfg: Config, split_name: str | list[str],
         # a single decode thread caps the host at ~100 frames/s while the
         # chip sustains >3000 poses/s (PERF.md). Futures are consumed in
         # sampler order, so batches are byte-identical to the serial path.
-        from collections import deque
+        from collections import Counter, deque
         from concurrent.futures import ThreadPoolExecutor
 
         idx_iter = iter(sampler)
+        visits: Counter = Counter()  # per-record visit counter (aug re-roll)
+
+        def _submit(ex):
+            idx = next(idx_iter)
+            n = visits[idx]
+            visits[idx] += 1
+            return ex.submit(_decode_one, records[idx], n)
+
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
-            futs: deque = deque(
-                ex.submit(_decode_one, records[next(idx_iter)])
-                for _ in range(2 * num_workers))
+            futs: deque = deque(_submit(ex)
+                                for _ in range(2 * num_workers))
             batch = []
             while True:
                 fut = futs.popleft()
-                futs.append(ex.submit(_decode_one,
-                                      records[next(idx_iter)]))
+                futs.append(_submit(ex))
                 sample = fut.result()
                 if sample is None:
                     continue

@@ -58,6 +58,7 @@ def inference_on_dataset(
     # per-dispatch relay latency; the reference's loop is fully synchronous,
     # gdrn_evaluator.py:603-683)
     pending = None  # (out, meta, t_dispatched)
+    i = -1
     for i, (batch, meta) in enumerate(batches):
         t0 = time.perf_counter()
         out = eval_step(state, batch)  # async dispatch
@@ -76,9 +77,15 @@ def inference_on_dataset(
         p_out, p_meta, p_t0 = pending
         consume(p_out, p_meta, time.perf_counter() - p_t0)
         n_rois += len(p_meta)
-        n_timed += len(p_meta)
-        if t_first is None:
-            t_first = p_t0
+        # the flushed batch has index i; fold it into the steady-state
+        # window only under the same condition the in-loop path uses
+        # (batch j is timed when j+1 > num_warmup) — a run shorter than
+        # the warmup window reports no steady-state throughput instead of
+        # one that includes compile time
+        if i + 1 > num_warmup:
+            n_timed += len(p_meta)
+            if t_first is None:
+                t_first = p_t0
     # wall-clock throughput over the steady-state window (a PARTITION of
     # time — compute and the overlapped host processing are not summed, so
     # nothing is double-counted)

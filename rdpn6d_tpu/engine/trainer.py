@@ -47,9 +47,12 @@ class Trainer:
         self.step_fn = make_sharded_train_step(cfg, model, self.tx,
                                                self.mesh)
         out_dir = cfg.train.output_dir
-        # multi-host: only process 0 WRITES metrics/TB/checkpoints to the
-        # (shared) output dir (the reference's save_to_disk=is_global_zero,
-        # engine.py:218); every host still restores
+        # multi-host: only process 0 WRITES metrics/TB to the (shared)
+        # output dir (the reference's save_to_disk=is_global_zero,
+        # engine.py:218). Checkpoint saves are NOT gated: orbax's
+        # CheckpointManager.save/wait_until_finished are collective when
+        # jax.process_count()>1 — every process must enter the barrier,
+        # and orbax's primary-host logic writes the files once.
         self.is_main = jax.process_index() == 0
         self.ckpt = CheckpointManager(f"{out_dir}/ckpt",
                                       cfg.train.max_to_keep)
@@ -130,9 +133,10 @@ class Trainer:
                 except Exception:  # vis must never kill training
                     pass
 
-            if self.is_main and ((it + 1) % ckpt_period == 0
-                                 or (it + 1) == self.total_iters):
-                self.ckpt.save(it + 1, jax.device_get(self.state))
+            if (it + 1) % ckpt_period == 0 or (it + 1) == self.total_iters:
+                # all processes call save (collective); device arrays go
+                # straight to orbax so multi-host shardings are preserved
+                self.ckpt.save(it + 1, self.state)
             if eval_fn is not None and cfg.train.eval_period > 0 \
                     and (it + 1) % cfg.train.eval_period == 0:
                 eval_fn(self.state, it + 1)

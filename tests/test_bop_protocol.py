@@ -382,28 +382,47 @@ def test_mp6d_so_splits_use_index_files(tmp_path, monkeypatch):
 
 
 def test_attach_detections_no_fanout_on_duplicate_instances():
-    """Detections are assigned to DISTINCT GT records by descending score —
-    never one row per (detection x GT instance) (round-2 regression:
-    duplicate-instance images produced N_gt x k prediction rows)."""
+    """Detections are assigned to DISTINCT GT records greedily by bbox IoU
+    in descending score order — never one row per (detection x GT instance)
+    (round-2 regression: duplicate-instance images produced N_gt x k
+    prediction rows), never more rows than the configured top-k, and on
+    duplicate-instance images each detection lands on the GT instance it
+    overlaps, not whichever record came first."""
     from rdpn6d_tpu.data.detections import attach_detections
 
     rec = {"scene_id": 1, "im_id": 0, "obj_id": 5, "bbox_mode": "xywh"}
-    records = [dict(rec, inst_idx=0), dict(rec, inst_idx=1)]
+    # GT instance 0 sits at (20..30), instance 1 at (0..10) — record order
+    # is the REVERSE of detection score order, so order-zip would misassign
+    records = [
+        dict(rec, inst_idx=0,
+             bbox_visib=np.array([20, 20, 10, 10], np.float32)),
+        dict(rec, inst_idx=1,
+             bbox_visib=np.array([0, 0, 10, 10], np.float32)),
+    ]
     dets = {(1, 0): [
         {"obj_id": 5, "bbox": np.array([0, 0, 10, 10], np.float32),
          "score": 0.9, "time": -1.0},
         {"obj_id": 5, "bbox": np.array([20, 20, 30, 30], np.float32),
          "score": 0.5, "time": -1.0},
     ]}
-    out = attach_detections(records, dets, topk_per_obj=1)
+    out = attach_detections(records, dets, topk_per_obj=2)
     # 2 GT instances + 2 detections -> exactly 2 rows, distinct bboxes
     assert len(out) == 2
-    assert out[0]["det_score"] == 0.9 and out[1]["det_score"] == 0.5
+    assert sorted(r["det_score"] for r in out) == [0.5, 0.9]
     assert not np.array_equal(out[0]["bbox_visib"], out[1]["bbox_visib"])
+    # IoU assignment: the 0.9 det (at 0..10) went to inst_idx=1's record
+    by_inst = {r["inst_idx"]: r for r in out}
+    assert by_inst[1]["det_score"] == 0.9
+    assert by_inst[0]["det_score"] == 0.5
 
-    # single GT instance: topk capped at 1 row
-    out1 = attach_detections([dict(rec)], dets, topk_per_obj=3)
+    # configured top-k is respected: 2 GT instances but topk=1 -> 1 row
+    out1 = attach_detections(records, dets, topk_per_obj=1)
     assert len(out1) == 1 and out1[0]["det_score"] == 0.9
+
+    # single GT instance: rows capped by available GT records
+    out2 = attach_detections([dict(rec, bbox_visib=np.array(
+        [0, 0, 10, 10], np.float32))], dets, topk_per_obj=3)
+    assert len(out2) == 1 and out2[0]["det_score"] == 0.9
 
 
 def test_load_detections_missing_bbox_raises(tmp_path):

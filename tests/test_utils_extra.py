@@ -99,3 +99,20 @@ def test_detections_roundtrip(tmp_path):
     assert len(out) == 1  # im 3 has no det -> dropped; top-1 kept
     np.testing.assert_allclose(out[0]["bbox_visib"], [10, 20, 40, 60])
     assert out[0]["det_score"] == 0.9
+
+
+def test_record_rng_rerolls_per_visit():
+    """Aug randomness is deterministic per (record, visit) but re-rolls
+    across visits — epoch N of a long run must not replay epoch 0's
+    change_bg/truncate draws (the reference re-rolls per __getitem__)."""
+    from rdpn6d_tpu.config import Config
+    from rdpn6d_tpu.data.loader import RecordDecoder
+
+    cfg = Config()
+    dec = RecordDecoder(cfg, assets=None, num_pm_points=16, seed=3)
+    rec = {"scene_id": 2, "im_id": 7, "inst_idx": 1}
+    v0a = dec._record_rng(rec, visit=0).rand(4)
+    v0b = dec._record_rng(rec, visit=0).rand(4)
+    v1 = dec._record_rng(rec, visit=1).rand(4)
+    assert np.allclose(v0a, v0b)       # deterministic per visit
+    assert not np.allclose(v0a, v1)    # fresh draws on the next visit
