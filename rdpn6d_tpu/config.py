@@ -136,6 +136,12 @@ class DataConfig:
     truncate_fg: bool = False
     filter_visib_thr: float = 0.0
     repeat_factor_thresh: float = 0.0   # >0: RepeatFactorSampler
+    grouped_train: bool = False     # frame-deduplicated compact-dtype
+    # train input path (uint8 RGB / uint16 depth on a shared frame axis,
+    # f16 xyz + packed uint8 masks per ROI; loader.train_group_iterator).
+    # Samples per FRAME instead of per instance; incompatible with
+    # repeat_factor_thresh.
+    frame_bucket: int = 8           # frame-axis pad bucket (grouped path)
     train_datasets: tuple[str, ...] = ()
     train2_datasets: tuple[str, ...] = ()
     train2_ratio: float = 0.0

@@ -101,7 +101,7 @@ class RecordDecoder:
     def _random_bg(self, H: int, W: int,
                    rng: np.random.RandomState | None = None
                    ) -> np.ndarray | None:
-        """Random background image from cfg.data.bg_images_dir
+        """Random background image (uint8 RGB) from cfg.data.bg_images_dir
         (VOC/SUN replacement pool, base_data_loader.py:320-364)."""
         import glob
         import os
@@ -123,7 +123,149 @@ class RecordDecoder:
         if bg is None:
             return None
         bg = cv2.cvtColor(bg, cv2.COLOR_BGR2RGB)
-        return cv2.resize(bg, (W, H)).astype(np.float32)
+        return cv2.resize(bg, (W, H))
+
+    def _mask_visib(self, rec: dict[str, Any]) -> np.ndarray | None:
+        """Visible-object mask from mask file or YCB-style label image."""
+        mask_visib = _imread_mask(rec.get("mask_visib_path", "")) \
+            if rec.get("mask_visib_path") else None
+        if mask_visib is None and rec.get("label_path"):
+            import cv2
+
+            lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
+            if lab is not None:
+                mask_visib = (lab == rec["label_obj_id"]).astype(np.float32)
+        return mask_visib
+
+    def _bbox_xyxy(self, rec: dict[str, Any],
+                   mask_visib: np.ndarray | None) -> np.ndarray:
+        bbox = rec.get("bbox_visib")
+        if bbox is None:
+            if mask_visib is None:
+                raise SkipRecord(f"no bbox and no mask: {rec['rgb_path']}")
+            ys, xs = np.nonzero(mask_visib)
+            if xs.size == 0:  # fully occluded / invalid depth everywhere
+                raise SkipRecord(
+                    f"empty visibility mask: {rec['rgb_path']}")
+            return np.array([xs.min(), ys.min(), xs.max(), ys.max()],
+                            np.float32)
+        bbox = np.asarray(bbox, np.float32)
+        if bbox.shape[0] == 4 and rec.get("bbox_mode", "xywh") == "xywh":
+            bbox = np.array([bbox[0], bbox[1], bbox[0] + bbox[2],
+                             bbox[1] + bbox[3]], np.float32)
+        return bbox
+
+    def _roi_assets(self, rec: dict[str, Any]) -> dict[str, np.ndarray]:
+        proj = rec["K"] @ rec["t"]
+        a = self.assets.for_obj(rec["obj_id"])
+        return {
+            "K": rec["K"].astype(np.float32),
+            "gt_rot": rec["R"].astype(np.float32),
+            "gt_trans": rec["t"].astype(np.float32),
+            "fps": a["fps"].astype(np.float32),
+            "extent": a["extent"].astype(np.float32),
+            "centroid_2d": (proj[:2] / proj[2]).astype(np.float32),
+            "roi_points": a["points"][:self.num_pm_points].astype(
+                np.float32),
+            "sym_rots": a["sym_rots"].astype(np.float32),
+            "roi_cls": np.int32(rec["cls_idx"]),
+        }
+
+    def read_frame(self, rec: dict[str, Any]) -> dict[str, np.ndarray]:
+        """Decode ONE frame's shared tensors in compact dtypes: uint8 RGB,
+        raw uint16 depth + factor, K. Decoded once per (scene, im) by the
+        grouped train path — the reference decodes and collates the frame
+        once PER INSTANCE (engine_utils.py:6-63), a 4-5x host decode +
+        PCIe waste on multi-instance datasets."""
+        import cv2
+
+        bgr = cv2.imread(rec["rgb_path"], cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise FileNotFoundError(rec["rgb_path"])
+        draw = cv2.imread(rec["depth_path"], cv2.IMREAD_UNCHANGED)
+        if draw is None:
+            raise FileNotFoundError(rec["depth_path"])
+        return {
+            "rgb": cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB),  # uint8
+            "depth_raw": draw.astype(np.uint16),
+            "depth_factor": np.float32(rec["depth_factor"]),
+            "K": rec["K"].astype(np.float32),
+        }
+
+    def decode_roi_compact(
+        self, rec: dict[str, Any], frame: dict[str, np.ndarray],
+        visit: int = 0, ship_xyz: bool = True,
+    ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray] | None]:
+        """One instance's compact per-ROI tensors against a shared frame.
+
+        Returns (roi, private_frame): ``roi`` carries the GT the device
+        pipeline needs on the ROI axis — ``mask_packed`` uint8 (visib bit
+        0, trunc bit 1), optional ``xyz`` float16 (omitted when
+        ``ship_xyz=False``: the device derives coords from the depth
+        surface), bbox + pose + per-class assets. ``private_frame`` is a
+        composited copy of the frame when background-replacement aug fired
+        for THIS instance (the reference composites per instance sample,
+        base_data_loader.py:320-364) — the caller gives such ROIs their
+        own frame slot; all other instances keep sharing the original.
+        """
+        H, W = rec["height"], rec["width"]
+        mask_visib = self._mask_visib(rec)
+
+        xyz16 = None
+        if ship_xyz:
+            if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
+                xyz16 = load_xyz_crop(rec["xyz_path"], H, W).astype(
+                    np.float16)
+            else:
+                # depth-derived fallback (visible surface), as __call__
+                depth = frame["depth_raw"].astype(np.float32) \
+                    / float(frame["depth_factor"])
+                K, R, t = rec["K"], rec["R"], rec["t"]
+                u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                                   np.arange(H, dtype=np.float32))
+                pc = np.stack([(u - K[0, 2]) * depth / K[0, 0],
+                               (v - K[1, 2]) * depth / K[1, 1], depth], -1)
+                xyz = (pc - t) @ R
+                m = depth > 1e-6
+                if mask_visib is not None:
+                    m = m & (mask_visib > 0)
+                xyz16 = (xyz * m[..., None]).astype(np.float16)
+            if mask_visib is None:
+                mask_visib = (np.abs(xyz16.astype(np.float32)).sum(-1)
+                              > 0).astype(np.float32)
+        if mask_visib is None:
+            raise SkipRecord(f"no visibility mask: {rec['rgb_path']}")
+
+        bbox = self._bbox_xyxy(rec, mask_visib)
+
+        mask_trunc = mask_visib
+        private = None
+        d = self.cfg.data
+        rng = self._record_rng(rec, visit)
+        if self.train and d.change_bg_prob > 0 \
+                and rng.rand() < d.change_bg_prob:
+            bg = self._random_bg(H, W, rng)
+            if bg is not None:
+                keep = mask_visib.copy()
+                if d.truncate_fg:
+                    cut = rng.uniform(0.3, 0.7)
+                    side = rng.randint(4)
+                    uu, vv = np.meshgrid(np.linspace(0, 1, W),
+                                         np.linspace(0, 1, H))
+                    half = [uu < cut, uu > cut, vv < cut, vv > cut][side]
+                    keep = keep * half
+                    mask_trunc = keep.astype(np.float32)
+                k8 = (keep > 0)[..., None]
+                private = dict(frame)
+                private["rgb"] = np.where(k8, frame["rgb"], bg)
+
+        packed = ((mask_visib > 0).astype(np.uint8)
+                  | ((mask_trunc > 0).astype(np.uint8) << 1))
+        roi = {"bbox": bbox.astype(np.float32), "mask_packed": packed,
+               **self._roi_assets(rec)}
+        if xyz16 is not None:
+            roi["xyz"] = xyz16
+        return roi, private
 
     def __call__(self, rec: dict[str, Any],
                  visit: int = 0) -> dict[str, np.ndarray]:
@@ -134,17 +276,8 @@ class RecordDecoder:
         R, t = rec["R"], rec["t"]
 
         # visible-object mask first (needed by the xyz fallback) ----------
-        mask_visib = _imread_mask(rec.get("mask_visib_path", "")) \
-            if rec.get("mask_visib_path") else None
-        if mask_visib is None and rec.get("label_path"):
-            # YCB-style class-id label image (mp6d): mask = label == obj_id
-            import cv2
+        mask_visib = self._mask_visib(rec)
 
-            lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
-            if lab is not None:
-                mask_visib = (lab == rec["label_obj_id"]).astype(np.float32)
-
-        import os
         if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
             xyz = load_xyz_crop(rec["xyz_path"], H, W)
         else:
@@ -164,17 +297,7 @@ class RecordDecoder:
         if mask_visib is None:
             mask_visib = (np.abs(xyz).sum(-1) > 0).astype(np.float32)
 
-        bbox = rec.get("bbox_visib")
-        if bbox is None:
-            ys, xs = np.nonzero(mask_visib)
-            if xs.size == 0:  # fully occluded / invalid depth everywhere
-                raise SkipRecord(
-                    f"empty visibility mask: {rec['rgb_path']}")
-            bbox = np.array([xs.min(), ys.min(), xs.max(), ys.max()],
-                            np.float32)
-        elif bbox.shape[0] == 4 and rec.get("bbox_mode", "xywh") == "xywh":
-            bbox = np.array([bbox[0], bbox[1], bbox[0] + bbox[2],
-                             bbox[1] + bbox[3]], np.float32)
+        bbox = self._bbox_xyxy(rec, mask_visib)
 
         # background replacement + foreground truncation (train aug,
         # base_data_loader.py:320-364); labels keep the ORIGINAL visib mask,
@@ -186,6 +309,7 @@ class RecordDecoder:
                 and rng.rand() < d.change_bg_prob:
             bg = self._random_bg(H, W, rng)
             if bg is not None:
+                bg = bg.astype(np.float32)
                 keep = mask_visib.copy()
                 if d.truncate_fg:
                     cut = rng.uniform(0.3, 0.7)
@@ -197,25 +321,14 @@ class RecordDecoder:
                     mask_trunc = keep.astype(np.float32)
                 rgb = rgb * keep[..., None] + bg * (1 - keep[..., None])
 
-        proj = K @ t
-        a = self.assets.for_obj(rec["obj_id"])
-        n_pm = self.num_pm_points
         return {
             "mask_trunc": mask_trunc,
             "rgb": rgb,
             "depth": depth,
             "xyz": xyz.astype(np.float32),
             "mask_visib": mask_visib,
-            "K": K.astype(np.float32),
             "bbox": bbox.astype(np.float32),
-            "gt_rot": R.astype(np.float32),
-            "gt_trans": t.astype(np.float32),
-            "fps": a["fps"].astype(np.float32),
-            "extent": a["extent"].astype(np.float32),
-            "centroid_2d": (proj[:2] / proj[2]).astype(np.float32),
-            "roi_points": a["points"][:n_pm].astype(np.float32),
-            "sym_rots": a["sym_rots"].astype(np.float32),
-            "roi_cls": np.int32(rec["cls_idx"]),
+            **self._roi_assets(rec),
         }
 
 
@@ -326,6 +439,167 @@ def train_frame_iterator(cfg: Config, split_name: str | list[str],
                 if len(batch) == bs:
                     q.put(_stack(batch))
                     batch = []
+
+    def producer_guard():
+        try:
+            producer()
+        except BaseException as e:  # surface in the consumer, never hang
+            q.put(e)
+
+    th = threading.Thread(target=producer_guard, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise RuntimeError("data loader producer thread failed") \
+                from item
+        yield item
+
+
+def train_group_iterator(cfg: Config, split_name: str | list[str],
+                         decoder: RecordDecoder | None = None,
+                         batch_size: int | None = None,
+                         seed: int = 0,
+                         cache_dir: str | None = None,
+                         num_prefetch: int = 2,
+                         num_workers: int | None = None,
+                         frame_bucket: int | None = None) -> Iterator[dict]:
+    """Infinite iterator of FRAME-DEDUPLICATED compact train batches for
+    ``preprocess_rois_grouped(train=True)``.
+
+    Yields ``{"frames": {...}, "rois": {...}}`` where frames carry uint8
+    RGB + raw uint16 depth (+factor, K) with one slot per distinct frame,
+    and rois carry per-instance compact GT (float16 xyz or none,
+    uint8 packed masks) plus ``frame_idx`` into the frame axis. Sampling
+    is per FRAME (shuffled; every instance of a drawn frame enters the
+    batch — standard detectron2-style per-image sampling) rather than the
+    flat path's per-instance shuffle; the batch is trimmed to exactly
+    ``batch_size`` ROIs, so a cut frame's trailing instances are dropped
+    for that visit (they lead on a later epoch's different trim).
+
+    Why: train batches on the flat path ship ~11 MB of float32 full
+    frames PER ROI; this path ships each frame once in compact dtypes —
+    the binding host-decode/PCIe constraint on real training (PERF.md).
+    """
+    if cfg.data.repeat_factor_thresh > 0:
+        raise ValueError(
+            "grouped_train is frame-sampled and incompatible with the "
+            "instance-level RepeatFactorSampler; unset "
+            "data.repeat_factor_thresh or data.grouped_train")
+    names = [split_name] if isinstance(split_name, str) else list(split_name)
+    records = load_train_records(cfg, names, cache_dir=cache_dir)
+    split = get_split(names[0])
+    ref = get_ref(split.ref_name)
+    if decoder is None:
+        from .assets import load_class_assets
+        assets = load_class_assets(
+            ref, cfg.head.num_regions, cfg.loss.num_pm_points,
+            objs=list(split.objs) if split.objs else None)
+        decoder = RecordDecoder(cfg, assets)
+    bs = batch_size or cfg.solver.ims_per_batch
+
+    # group record indices by frame
+    by_frame: dict[tuple[int, int], list[int]] = {}
+    for i, r in enumerate(records):
+        by_frame.setdefault((r["scene_id"], r["im_id"]), []).append(i)
+    frame_groups = list(by_frame.values())
+
+    # ship xyz if ANY record has a rendered GT map on disk (amodal coords;
+    # mixed splits fall back to host-derived f16 per record). A split with
+    # none at all skips the per-ROI xyz tensor entirely — the device
+    # derives coords from the depth surface post-crop (pipeline.py).
+    ship_xyz = any(
+        r.get("xyz_path") and os.path.exists(r["xyz_path"])
+        for r in records)
+
+    # frame-axis padding bucket: one compiled shape per bucket count
+    if frame_bucket is None:
+        frame_bucket = max(1, min(8, bs))
+
+    import jax
+
+    shard_id, num_shards = jax.process_index(), jax.process_count()
+    sampler = InfiniteSampler(len(frame_groups), seed=seed,
+                              shard_id=shard_id, num_shards=num_shards)
+
+    if num_workers is None:
+        num_workers = max(1, min(8, (os.cpu_count() or 1) - 1)) \
+            if (os.cpu_count() or 1) > 1 else 1
+
+    q: queue.Queue = queue.Queue(maxsize=num_prefetch)
+
+    def _decode_group(rec_idxs, visit):
+        """One frame + all its instances -> list of (frame|None, roi);
+        frame None = share the group's base frame."""
+        base = records[rec_idxs[0]]
+        try:
+            frame = decoder.read_frame(base)
+        except (FileNotFoundError, OSError):
+            return None
+        out = []
+        for ri in rec_idxs:
+            try:
+                roi, private = decoder.decode_roi_compact(
+                    records[ri], frame, visit=visit, ship_xyz=ship_xyz)
+            except (FileNotFoundError, OSError, SkipRecord):
+                continue
+            out.append((private, roi))
+        if not out:
+            return None
+        return frame, out
+
+    def producer():
+        from collections import Counter, deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx_iter = iter(sampler)
+        visits: Counter = Counter()
+
+        def _submit(ex):
+            gi = next(idx_iter)
+            n = visits[gi]
+            visits[gi] += 1
+            return ex.submit(_decode_group, frame_groups[gi], n)
+
+        frames_l: list[dict] = []
+        rois_l: list[dict] = []
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            futs: deque = deque(_submit(ex)
+                                for _ in range(2 * num_workers))
+            while True:
+                fut = futs.popleft()
+                futs.append(_submit(ex))
+                group = fut.result()
+                if group is None:
+                    continue
+                base_frame, inst = group
+                base_idx = None  # lazily claim a slot for the shared frame
+                for private, roi in inst:
+                    if len(rois_l) == bs:
+                        break
+                    if private is not None:
+                        fidx = len(frames_l)
+                        frames_l.append(private)
+                    else:
+                        if base_idx is None:
+                            base_idx = len(frames_l)
+                            frames_l.append(base_frame)
+                        fidx = base_idx
+                    roi = dict(roi)
+                    roi["frame_idx"] = np.int32(fidx)
+                    rois_l.append(roi)
+                if len(rois_l) == bs:
+                    # pad the frame axis to its bucket (repeat last frame)
+                    # so jit sees few distinct shapes
+                    F = len(frames_l)
+                    Fpad = min(-(-F // frame_bucket) * frame_bucket, bs)
+                    while len(frames_l) < Fpad:
+                        frames_l.append(frames_l[-1])
+                    q.put({
+                        "frames": _stack(frames_l),
+                        "rois": _stack(rois_l),
+                    })
+                    frames_l, rois_l = [], []
 
     def producer_guard():
         try:

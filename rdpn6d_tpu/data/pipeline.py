@@ -112,6 +112,17 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     input_res, out_res = d.input_res, d.out_res
     H, W = sample["rgb"].shape[0], sample["rgb"].shape[1]
 
+    # compact-dtype inputs (the frame-deduplicated train/eval path ships
+    # uint8 RGB and raw uint16 depth + factor to cut host->device bytes
+    # 4x; the reference collates everything as float32 per ROI,
+    # engine_utils.py:6-63) — cast on device, where HBM bandwidth is cheap
+    rgb_full = sample["rgb"].astype(jnp.float32)
+    if "depth_raw" in sample:
+        depth_full = sample["depth_raw"].astype(jnp.float32) \
+            / sample["depth_factor"]
+    else:
+        depth_full = sample["depth"]
+
     # independent streams per consumer — a key must never be both used
     # and re-split
     k_dzi, k_aug, k_on = jax.random.split(key, 3)
@@ -124,7 +135,7 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
 
     # RGB crop + color aug + pixel normalization -----------------------
     # (matmul resampling: 16x faster than gathers on TPU, see ops/warp.py)
-    rgb = crop_resize_mm(sample["rgb"], center, scale, input_res)
+    rgb = crop_resize_mm(rgb_full, center, scale, input_res)
     if train and d.color_aug_prob > 0:
         from .augment import DEFAULT_AUG, color_augment
 
@@ -137,7 +148,7 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
 
     # depth crop -> camera-frame XYZ (full-precision resample: bf16 MXU
     # rounding would cost millimeters) -----------------------------------
-    depth_crop = crop_resize_mm(sample["depth"], center, scale, input_res,
+    depth_crop = crop_resize_mm(depth_full, center, scale, input_res,
                                 precision="highest")
     depth_xyz = _backproject_crop(depth_crop, sample["K"], center, scale,
                                   input_res, out_res)
@@ -169,24 +180,65 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     if not train:
         return out
 
+    # masks: the compact path ships ONE uint8 plane per ROI with visib in
+    # bit 0 and trunc in bit 1 instead of two float32 full frames
+    if "mask_packed" in sample:
+        packed = sample["mask_packed"]
+        mask_visib_in = (packed & 1).astype(jnp.float32)
+        mask_trunc_in = ((packed >> 1) & 1).astype(jnp.float32)
+        has_trunc = True
+    else:
+        mask_visib_in = sample["mask_visib"]
+        mask_trunc_in = sample.get("mask_trunc")
+        has_trunc = mask_trunc_in is not None
+
     # masks + xyz (nearest, data_loader.py:846-866): ONE stacked crop —
     # separate crop_resize calls each rebuild the coordinate grid and
     # issue an independent gather over the full frame, and XLA does not
     # dedupe them
-    xyz_full = sample["xyz"]
-    mask_obj = ((xyz_full[..., 0] != 0) | (xyz_full[..., 1] != 0)
-                | (xyz_full[..., 2] != 0)).astype(jnp.float32)
-    mask_visib = sample["mask_visib"] * mask_obj
-    planes = [mask_visib[..., None], mask_obj[..., None], xyz_full]
-    if "mask_trunc" in sample:  # host truncation aug (loader)
-        planes.append((sample["mask_trunc"] * mask_obj)[..., None])
-    stacked = crop_resize(jnp.concatenate(planes, axis=-1), center, scale,
-                          out_res, "nearest")
-    roi_mask_visib = stacked[..., 0]
-    roi_mask_obj = stacked[..., 1]
-    roi_xyz_raw = stacked[..., 2:5]
-    roi_mask_trunc = stacked[..., 5] if "mask_trunc" in sample \
-        else roi_mask_visib
+    if "xyz" in sample:
+        xyz_full = sample["xyz"].astype(jnp.float32)
+        mask_obj = ((xyz_full[..., 0] != 0) | (xyz_full[..., 1] != 0)
+                    | (xyz_full[..., 2] != 0)).astype(jnp.float32)
+        mask_visib = mask_visib_in * mask_obj
+        planes = [mask_visib[..., None], mask_obj[..., None], xyz_full]
+        if has_trunc:  # host truncation aug (loader)
+            planes.append((mask_trunc_in * mask_obj)[..., None])
+        stacked = crop_resize(jnp.concatenate(planes, axis=-1), center,
+                              scale, out_res, "nearest")
+        roi_mask_visib = stacked[..., 0]
+        roi_mask_obj = stacked[..., 1]
+        roi_xyz_raw = stacked[..., 2:5]
+        roi_mask_trunc = stacked[..., 5] if has_trunc else roi_mask_visib
+    else:
+        # no GT xyz map shipped: derive model-frame coords from the depth
+        # surface ON DEVICE, at out_res, AFTER the nearest crop. The
+        # nearest crop picks one source pixel (u, v) per output pixel, so
+        # back-projecting the cropped (depth, u, v) planes with the
+        # original K and applying xyz = R^T (p_cam - t) equals nearest-
+        # cropping a host-precomputed full-frame xyz map (loader.py's
+        # depth fallback) — without the [H,W,3] float32 ever crossing
+        # host->device (the largest per-ROI tensor in a train batch).
+        uu, vv = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                              jnp.arange(H, dtype=jnp.float32))
+        planes = [mask_visib_in[..., None], depth_full[..., None],
+                  uu[..., None], vv[..., None]]
+        if has_trunc:
+            planes.append(mask_trunc_in[..., None])
+        stacked = crop_resize(jnp.concatenate(planes, axis=-1), center,
+                              scale, out_res, "nearest")
+        visib_c, depth_c = stacked[..., 0], stacked[..., 1]
+        u_c, v_c = stacked[..., 2], stacked[..., 3]
+        Kf, t_gt = sample["K"], sample["gt_trans"]
+        m = (depth_c > 1e-6).astype(jnp.float32) * visib_c
+        pc = jnp.stack([(u_c - Kf[0, 2]) * depth_c / Kf[0, 0],
+                        (v_c - Kf[1, 2]) * depth_c / Kf[1, 1],
+                        depth_c], axis=-1)
+        roi_xyz_raw = jnp.einsum(
+            "hwj,jk->hwk", pc - t_gt, sample["gt_rot"]) * m[..., None]
+        roi_mask_obj = m          # visible surface only (no amodal render)
+        roi_mask_visib = m
+        roi_mask_trunc = stacked[..., 4] * m if has_trunc else m
     if cfg.head.coord_residual:
         # RDPN: region + GT-rotated FPS residual (data_loader.py:874-903)
         region, coord = residual_coord_target(
@@ -234,7 +286,8 @@ def preprocess_batch(cfg: Config, samples: dict[str, jax.Array],
         lambda s, k: preprocess_roi(cfg, s, k, train))(samples, keys)
 
 
-_FRAME_KEYS = ("rgb", "depth", "K", "xyz", "mask_visib", "mask_trunc")
+_FRAME_KEYS = ("rgb", "depth", "depth_raw", "depth_factor", "K",
+               "xyz", "mask_visib", "mask_trunc")
 
 
 def preprocess_rois_grouped(cfg: Config, frames: dict[str, jax.Array],
@@ -242,19 +295,25 @@ def preprocess_rois_grouped(cfg: Config, frames: dict[str, jax.Array],
                             train: bool = False) -> dict[str, jax.Array]:
     """Frame-deduplicated preprocessing: many ROIs share few frames.
 
-    frames: full-frame tensors with a FRAME axis ([F,H,W,3] rgb, [F,H,W]
-    depth, [F,3,3] K, ...); rois: per-ROI tensors ([B] frame_idx int32 plus
+    frames: full-frame tensors with a FRAME axis ([F,H,W,3] rgb — uint8
+    welcome, [F,H,W] depth (or depth_raw uint16 + depth_factor [F]),
+    [F,3,3] K); rois: per-ROI tensors ([B] frame_idx int32 plus
     bbox/fps/extent/...). Each ROI's crop reads its frame by dynamic index
     inside the vmapped graph — frames cross host->device ONCE instead of
     once per ROI (test images carry ~5 instances on YCB-V; the reference
     pays the copy per ROI in its collate, engine_utils.py:66-99).
+
+    Train batches additionally carry per-ROI GT on the ROI axis in compact
+    dtypes: ``xyz`` [B,H,W,3] float16 (or omitted to derive coords from
+    the depth surface on device) and ``mask_packed`` [B,H,W] uint8 (visib
+    bit 0, trunc bit 1) — see ``loader.RecordDecoder.decode_compact``.
     """
     if train and any(k in frames for k in ("xyz", "mask_visib",
                                            "mask_trunc")):
         # per-INSTANCE GT maps cannot live on the shared frame axis: two
         # ROIs of different objects in one frame would silently share one
         # instance's xyz/mask targets. Train batches must keep GT maps
-        # per ROI (preprocess_batch) — this path is for inference inputs.
+        # per ROI (the ROI axis of `rois`, or preprocess_batch).
         raise ValueError(
             "preprocess_rois_grouped(train=True) with per-instance GT "
             "maps on the frame axis; pass GT maps per ROI instead")

@@ -130,6 +130,24 @@ def main(argv=None):
 
     def device_batches(split_name: str, seed: int = 0):
         nonlocal key
+        if cfg.data.grouped_train:
+            # frame-deduplicated compact-dtype path: uint8/uint16 frames
+            # cross host->device once per image, GT rides the ROI axis in
+            # f16/packed-uint8 (4-5x less step input than the flat path)
+            from .data.loader import train_group_iterator
+            from .data.pipeline import preprocess_rois_grouped
+
+            for gb in train_group_iterator(
+                    cfg, split_name, seed=seed,
+                    cache_dir=f"{cfg.train.output_dir}/cache",
+                    frame_bucket=cfg.data.frame_bucket):
+                key, sub = jax.random.split(key)
+                yield preprocess_rois_grouped(
+                    cfg,
+                    {k: jnp.asarray(v) for k, v in gb["frames"].items()},
+                    {k: jnp.asarray(v) for k, v in gb["rois"].items()},
+                    sub, train=True)
+            return
         for frames in train_frame_iterator(
                 cfg, split_name, seed=seed,
                 cache_dir=f"{cfg.train.output_dir}/cache"):
