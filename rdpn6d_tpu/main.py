@@ -26,6 +26,19 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-devices", type=int, default=0,
                    help="0 = all visible devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before any "
+                        "backend use (multi-host SPMD over DCN). On TPU "
+                        "pods the coordinator/process args auto-detect; "
+                        "elsewhere pass them explicitly (the reference's "
+                        "--num-machines/--machine-rank/--dist-url, "
+                        "default_args_setup.py:52-64)")
+    p.add_argument("--dist-coordinator", default="",
+                   help="coordinator address host:port (with --multihost)")
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="total process count (with --multihost)")
+    p.add_argument("--process-id", type=int, default=-1,
+                   help="this process's rank (with --multihost)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler device trace of the "
                         "training loop into <output_dir>/profile "
@@ -62,8 +75,29 @@ def auto_output_dir(config_file: str) -> str:
         else os.path.join("output", rel)
 
 
+def maybe_init_distributed(args) -> None:
+    """``--multihost``: bring up the jax distributed runtime so that
+    ``jax.devices()`` spans every host and collectives ride DCN.
+
+    Must run before the first backend use. The reference reaches the same
+    state through Lightning's DDP spawn (main_gdrn.py:136-163); here every
+    host runs the SAME SPMD program over a global mesh instead.
+    """
+    if not getattr(args, "multihost", False):
+        return
+    kwargs = {}
+    if args.dist_coordinator:
+        kwargs["coordinator_address"] = args.dist_coordinator
+    if args.num_processes:
+        kwargs["num_processes"] = args.num_processes
+    if args.process_id >= 0:
+        kwargs["process_id"] = args.process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def main(argv=None):
     args = parse_args(argv)
+    maybe_init_distributed(args)
     from .config import load_config
     from .data.loader import train_frame_iterator
     from .data.pipeline import preprocess_batch
@@ -128,6 +162,17 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(cfg.train.seed)
 
+    # ims_per_batch is the GLOBAL batch (the reference's detectron2
+    # convention): each host's loader yields its 1/process_count share,
+    # assembled into one global sharded array by shard_batch
+    if cfg.solver.ims_per_batch % jax.process_count() != 0:
+        raise ValueError(
+            f"ims_per_batch={cfg.solver.ims_per_batch} not divisible by "
+            f"process_count={jax.process_count()}")
+    bs_local = cfg.solver.ims_per_batch // jax.process_count()
+    # distinct per-host PRNG stream for DZI/color-aug draws
+    key = jax.random.fold_in(key, jax.process_index())
+
     def device_batches(split_name: str, seed: int = 0):
         nonlocal key
         if cfg.data.grouped_train:
@@ -138,7 +183,7 @@ def main(argv=None):
             from .data.pipeline import preprocess_rois_grouped
 
             for gb in train_group_iterator(
-                    cfg, split_name, seed=seed,
+                    cfg, split_name, seed=seed, batch_size=bs_local,
                     cache_dir=f"{cfg.train.output_dir}/cache",
                     frame_bucket=cfg.data.frame_bucket):
                 key, sub = jax.random.split(key)
@@ -149,7 +194,7 @@ def main(argv=None):
                     sub, train=True)
             return
         for frames in train_frame_iterator(
-                cfg, split_name, seed=seed,
+                cfg, split_name, seed=seed, batch_size=bs_local,
                 cache_dir=f"{cfg.train.output_dir}/cache"):
             key, sub = jax.random.split(key)
             batch = preprocess_batch(

@@ -39,15 +39,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: dict[str, Any], mesh: Mesh,
                 axis: str = "data") -> dict[str, Any]:
-    """Place every array in the batch with its leading dim sharded."""
+    """Place every array in the batch with its leading dim sharded.
+
+    Single-host: a plain sharded device_put. Multi-host: each host holds
+    only its 1/process_count slice of the global batch (the loaders shard
+    the sampler stream per host), so the global array is assembled from
+    process-local shards — the SPMD analogue of DDP's per-rank batches.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), batch)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), batch)
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate params/optimizer state over the (possibly multi-host)
+    mesh. Every host initializes from the same seed, so each provides the
+    identical global value for its addressable shards."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), tree)
+
+    def _rep(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(_rep, tree)
 
 
 def gather_predictions(local_preds: list[Any]) -> list[Any]:

@@ -28,3 +28,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Numerical tests verify geometry to ~1e-5; keep matmuls in full f32 here
 # (the model path opts into bf16 explicitly via its own dtype policy).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (multi-process)")
