@@ -2,7 +2,7 @@
 
 Counterpart of configs/gdrn/lm/a6_cPnP_lm13.py: NUM_REGIONS=32, allo_rot6d,
 centroid_z, Ranger lr=1e-4, flat_and_anneal cosine @0.72, DZI pad 1.5,
-color aug prob 0.8.
+color aug OFF (COLOR_AUG_PROB=0.0 in the reference).
 """
 
 from rdpn6d_tpu.config import Config
@@ -15,7 +15,10 @@ def get_config() -> Config:
         # (reference a6_cPnP_lm13.py:36)
         'data.train_datasets=["lm_13_train", "lm_imgn_13_train_1k_per_obj"]',
         'data.test_datasets=["lm_13_test"]',
-        "data.color_aug_prob=0.8",
+        "data.color_aug_prob=0.0",  # reference a6_cPnP_lm13.py:6 trains
+        # WITHOUT color aug; the weak "lm" pipeline (its COLOR_AUG_CODE)
+        # is wired for anyone flipping the prob on
+        'data.color_aug_type="lm"',
         "head.num_classes=13",
         "solver.total_epochs=160",
         "solver.ims_per_batch=24",

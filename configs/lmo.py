@@ -16,6 +16,7 @@ def get_config() -> Config:
         "data.train2_ratio=0.1",
         'data.test_datasets=["lmo_bop_test"]',
         "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',  # lmo ...40e.py COLOR_AUG_CODE
         "data.change_bg_prob=0.5",
         "data.truncate_fg=true",
         "head.num_classes=8",

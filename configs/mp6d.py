@@ -18,6 +18,7 @@ def get_config() -> Config:
         'data.train_datasets=["mp6d_train"]',
         'data.test_datasets=["mp6d_test"]',
         "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',  # mp6d/a.py:10-24 COLOR_AUG_CODE
         "data.change_bg_prob=0.5",
         "data.truncate_fg=true",
         "head.num_classes=20",

@@ -74,6 +74,7 @@ def get_config(variant: str) -> Config:
         f'data.train_datasets={[str(t) for t in train]!r}'.replace("'", '"'),
         f'data.test_datasets=["{test}"]',
         "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',
         "data.change_bg_prob=0.5",
         "data.truncate_fg=true",
         # single-class model: no class-aware heads (reference SO configs

@@ -16,6 +16,8 @@ def get_config() -> Config:
         "data.train2_ratio=0.5",
         'data.test_datasets=["ycbv_test"]',
         "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',  # the flagship config's exact
+        # COLOR_AUG_CODE (no coarse dropout), ycbv ...10e.py:10-23
         "data.change_bg_prob=0.5",
         "data.truncate_fg=true",
         "data.filter_visib_thr=0.2",

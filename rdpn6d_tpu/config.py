@@ -131,6 +131,11 @@ class DataConfig:
     pixel_mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
     pixel_std: tuple[float, float, float] = (255.0, 255.0, 255.0)
     color_aug_prob: float = 0.0
+    color_aug_type: str = "aae"     # code | aae | aae_weak | lm | roi10d
+    # | none — named pipeline families (reference COLOR_AUG_TYPE,
+    # base_data_loader.py:154-239)
+    color_aug_ops: tuple = ()       # custom AugOp tuple (python configs
+    # only); overrides color_aug_type when non-empty
     change_bg_prob: float = 0.0
     bg_images_dir: str = ""         # VOC/SUN-style background pool
     truncate_fg: bool = False

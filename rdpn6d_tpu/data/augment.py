@@ -28,9 +28,11 @@ class AugOp:
     per_channel: float = 0.0        # probability of sampling per channel
 
 
-# the shipped "code" pipeline (mp6d/a.py + lm13 configs)
-DEFAULT_AUG: tuple[AugOp, ...] = (
-    AugOp("dropout", prob=0.5, lo=0.2, hi=0.05),   # p=0.2, size_percent=0.05
+# The strong ops shared by the shipped per-config "code" strings
+# (ycbv AugAAETrunc / mp6d a.py / lmo: blur 1.2*rand, Add +-25 pc0.3,
+# Invert 0.2 pc, Multiply 0.6-1.4 x2, LinearContrast 0.5-2.2 pc0.3 —
+# CoarseDropout is commented out there)
+CODE_AUG: tuple[AugOp, ...] = (
     AugOp("blur", prob=0.5, lo=0.0, hi=1.2),
     AugOp("add", prob=0.5, lo=-25.0, hi=25.0, per_channel=0.3),
     AugOp("invert", prob=0.3, lo=0.2, hi=0.2, per_channel=1.0),
@@ -38,6 +40,64 @@ DEFAULT_AUG: tuple[AugOp, ...] = (
     AugOp("multiply", prob=0.5, lo=0.6, hi=1.4),
     AugOp("contrast", prob=0.5, lo=0.5, hi=2.2, per_channel=0.3),
 )
+
+# The AAE family's built-in string (base_data_loader.py:166-177): the
+# strong ops WITH the coarse dropout
+AAE_AUG: tuple[AugOp, ...] = (
+    AugOp("dropout", prob=0.5, lo=0.2, hi=0.05),   # p=0.2, size_percent=0.05
+) + CODE_AUG
+
+# Weaker variant for dark objects (base_data_loader.py:184-193,
+# aug_code_weaker: dropout 0.1, blur rand, Add +-20, contrast 0.5-2.0)
+AAE_WEAK_AUG: tuple[AugOp, ...] = (
+    AugOp("dropout", prob=0.4, lo=0.1, hi=0.05),
+    AugOp("blur", prob=0.5, lo=0.0, hi=1.0),
+    AugOp("add", prob=0.5, lo=-20.0, hi=20.0, per_channel=0.3),
+    AugOp("invert", prob=0.4, lo=0.2, hi=0.2, per_channel=1.0),
+    AugOp("multiply", prob=0.5, lo=0.7, hi=1.4, per_channel=0.8),
+    AugOp("multiply", prob=0.5, lo=0.7, hi=1.4),
+    AugOp("contrast", prob=0.5, lo=0.5, hi=2.0, per_channel=0.3),
+)
+
+# lm13's config code string (configs/gdrn/lm/a6_cPnP_lm13.py:8-19):
+# the weak ops without the dropout
+LM_AUG: tuple[AugOp, ...] = AAE_WEAK_AUG[1:]
+
+# ROI10D's AugmentRGB (core/utils/augment.py:233-263): small
+# saturation/brightness/contrast jitters + PCA lighting noise. Always-on
+# ops (AugmentRGB applies each unconditionally); lo/hi bound the blend
+# factor, `lo` is the lighting std.
+ROI10D_AUG: tuple[AugOp, ...] = (
+    AugOp("saturation", prob=1.0, lo=0.95, hi=1.05),
+    AugOp("brightness_mul", prob=1.0, lo=0.99, hi=1.01),  # delta 2.5/255
+    AugOp("contrast_gray", prob=1.0, lo=0.95, hi=1.05),
+    AugOp("lighting", prob=1.0, lo=0.3, hi=0.3),
+)
+
+# back-compat alias (the pre-round-3 hardcoded pipeline)
+DEFAULT_AUG: tuple[AugOp, ...] = AAE_AUG
+
+_PIPELINES: dict[str, tuple[AugOp, ...]] = {
+    "code": CODE_AUG,
+    "aae": AAE_AUG,
+    "aae_weak": AAE_WEAK_AUG,
+    "lm": LM_AUG,
+    "roi10d": ROI10D_AUG,
+    "none": (),
+}
+
+
+def get_aug_pipeline(name: str) -> tuple[AugOp, ...]:
+    """Named pipeline lookup (the reference's COLOR_AUG_TYPE families,
+    base_data_loader.py:154-239 — minus the eval()'d code strings, which
+    are declarative AugOp tuples here; configs can also set
+    ``data.color_aug_ops`` to a custom tuple directly)."""
+    try:
+        return _PIPELINES[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown color_aug_type {name!r}; "
+            f"options: {sorted(_PIPELINES)}") from None
 
 
 def _gaussian_kernel(sigma: jax.Array, radius: int = 3) -> jax.Array:
@@ -94,6 +154,30 @@ def _apply_op(img: jax.Array, key: jax.Array, op: AugOp) -> jax.Array:
         grid = jax.random.bernoulli(k1, op.lo, (ch, cw))
         mask = jax.image.resize(grid.astype(img.dtype), (H, W), "nearest")
         out = img * (1.0 - mask[..., None])
+    elif op.kind == "saturation":
+        # blend toward per-pixel grayscale (AugmentRGB.saturation,
+        # core/utils/augment.py:233-239)
+        gs = img @ jnp.asarray([0.299, 0.587, 0.114])
+        a = jax.random.uniform(kv, (), minval=op.lo, maxval=op.hi)
+        out = img * a + (1.0 - a) * gs[..., None]
+    elif op.kind == "brightness_mul":
+        a = jax.random.uniform(kv, (), minval=op.lo, maxval=op.hi)
+        out = img * a
+    elif op.kind == "contrast_gray":
+        # blend toward the scalar gray mean (AugmentRGB.contrast,
+        # core/utils/augment.py:248-254)
+        gs = jnp.mean(img @ jnp.asarray([0.299, 0.587, 0.114]))
+        a = jax.random.uniform(kv, (), minval=op.lo, maxval=op.hi)
+        out = img * a + (1.0 - a) * gs
+    elif op.kind == "lighting":
+        # PCA lighting noise over the image's channel covariance
+        # (AugmentRGB.lighting, core/utils/augment.py:256-263); std
+        # scaled to the 0..255 domain (the reference works in 0..1)
+        flat = img.reshape(-1, 3) / 255.0
+        cov = jnp.cov(flat, rowvar=False)
+        eigval, eigvec = jnp.linalg.eigh(cov)
+        noise = jax.random.normal(kv, (3,)) * op.lo
+        out = img + 255.0 * (eigvec @ (eigval * noise))
     else:
         raise ValueError(op.kind)
     on = jax.random.bernoulli(kp, op.prob)

@@ -137,11 +137,13 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
     # (matmul resampling: 16x faster than gathers on TPU, see ops/warp.py)
     rgb = crop_resize_mm(rgb_full, center, scale, input_res)
     if train and d.color_aug_prob > 0:
-        from .augment import DEFAULT_AUG, color_augment
+        from .augment import color_augment, get_aug_pipeline
 
-        aug = color_augment(rgb, k_aug, DEFAULT_AUG)
-        rgb = jnp.where(jax.random.bernoulli(k_on, d.color_aug_prob),
-                        aug, rgb)
+        ops = d.color_aug_ops or get_aug_pipeline(d.color_aug_type)
+        if ops:
+            aug = color_augment(rgb, k_aug, ops)
+            rgb = jnp.where(jax.random.bernoulli(k_on, d.color_aug_prob),
+                            aug, rgb)
     mean = jnp.asarray(d.pixel_mean)
     std = jnp.asarray(d.pixel_std)
     rgb = (rgb - mean) / std
