@@ -191,6 +191,9 @@ class TestConfig:
     test_bbox_type: str = "gt"       # gt | est
     error_types: str = "ad,adi,AUCad,re,te,proj"
     eval_precision: bool = False
+    plots: bool = True              # dump recall-vs-threshold curve CSVs
+    # (+PNGs when matplotlib exists) next to the BOP CSV — the
+    # counterpart of the reference's lib/pysixd/eval_plots.py
     int8: str = ""                   # "" | head | trunk | all — W8A8
     # serving mode (models/quant.py); "head" preserves accuracy (see
     # PERF.md), but bf16 measured faster on v5e — experimental opt-in

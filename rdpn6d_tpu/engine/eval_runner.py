@@ -268,6 +268,17 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     result = evaluate_and_report(evaluator, cfg, obj2id=ref.obj2id,
                                  csv_path=csv)
 
+    if cfg.test.plots:
+        # recall-vs-threshold curves next to the BOP CSV (the reference's
+        # lib/pysixd/eval_plots.py capability)
+        from ..evaluation.plots import dump_recall_curves
+
+        errs = evaluator.compute_errors()
+        dump_recall_curves(
+            errs, {o: evaluator.diameters[o] for o in errs},
+            os.path.join(os.path.dirname(os.path.abspath(csv)),
+                         f"plots_{split_name}"))
+
     # BOP19 localization AR when the config asks for toolkit error types
     # (reference VAL.ERROR_TYPES -> eval_pose_results_more.py pipeline)
     err_types = {t.strip() for t in cfg.test.error_types.split(",")}

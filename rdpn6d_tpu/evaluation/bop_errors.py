@@ -75,11 +75,30 @@ def vsd(R_est: np.ndarray, t_est: np.ndarray, R_gt: np.ndarray,
     H, W = depth_test.shape
     d_est, _ = render_mesh(verts, faces, K, R_est, t_est, H, W)
     d_gt, _ = render_mesh(verts, faces, K, R_gt, t_gt, H, W)
+    return vsd_from_depths(d_est, d_gt, depth_test, delta=delta, taus=taus,
+                           diameter=diameter,
+                           normalized_by_diameter=normalized_by_diameter,
+                           cost_type=cost_type)
 
+
+def vsd_from_depths(d_est: np.ndarray, d_gt: np.ndarray,
+                    depth_test: np.ndarray,
+                    delta: float = 15.0 / 1000.0, taus=(0.05,),
+                    diameter: float | None = None,
+                    normalized_by_diameter: bool = True,
+                    cost_type: str = "step") -> list[float]:
+    """VSD from PRE-RENDERED est/gt depth maps.
+
+    Split out so scorers can cache renders: the GT depth depends only on
+    (object, gt pose, camera) and is identical for every estimate of the
+    same target — the reference re-renders it per estimate pair
+    (eval_calc_errors.py), which dominates full-test-set VSD time.
+    """
     # visibility masks: rendered surface within delta of (or in front of)
     # the measured scene depth; est visibility additionally includes pixels
     # visible in gt (BOP visibility.estimate_visib_mask_est semantics)
     valid_scene = depth_test > 0
+
     def visib(d):
         m = d > 0
         below = m & valid_scene & (d - depth_test < delta)

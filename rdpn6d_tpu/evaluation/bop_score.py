@@ -44,6 +44,35 @@ def match_poses_bop(errors: np.ndarray,
     return pairs
 
 
+def match_counts_batch(errors: np.ndarray,
+                       thr_mat: np.ndarray) -> np.ndarray:
+    """Greedy BOP matching VECTORIZED over thresholds.
+
+    errors [E, G] (estimate rows in descending-score order); thr_mat
+    [T, G] absolute per-GT thresholds for T independent match passes.
+    Returns match counts [T] — exactly ``len(match_poses_bop(errors,
+    thr_mat[t]))`` for each t, but with one numpy pass per estimate row
+    instead of T python greedy loops (the reference runs the full greedy
+    per threshold, pose_matching.py:9-93; a VSD scoring pass needs
+    |taus| x |thresholds| = 100 of them per target).
+    """
+    if errors.size == 0:
+        return np.zeros(thr_mat.shape[0], np.int64)
+    E, G = errors.shape
+    T = thr_mat.shape[0]
+    used = np.zeros((T, G), bool)
+    counts = np.zeros(T, np.int64)
+    rows = np.arange(T)
+    for e in range(E):
+        cand = ~used & (errors[e][None, :] < thr_mat)      # [T, G]
+        masked = np.where(cand, errors[e][None, :], np.inf)
+        sel = masked.argmin(axis=1)                        # lowest error
+        ok = cand[rows, sel]
+        used[rows[ok], sel[ok]] = True
+        counts += ok
+    return counts
+
+
 def score_error_recalls(
     estimates: list[dict[str, Any]],
     gts: dict[tuple[int, int], list[dict[str, Any]]],
@@ -89,13 +118,15 @@ def score_error_recalls(
     n_variants = n_variants or 1
     # BOP19 matching runs SEPARATELY per threshold (and per error variant):
     # estimates in descending-score order each take the unmatched GT with
-    # the lowest sub-threshold error (pose_matching.py:9-93)
+    # the lowest sub-threshold error (pose_matching.py:9-93). The error
+    # matrices are computed ONCE per target above; the per-threshold
+    # greedy runs vectorized over the whole threshold grid.
+    thr_arr = np.asarray(thresholds, np.float64)
     n_correct = np.zeros((n_variants, len(thresholds)))
     for err, diam in per_target:
+        thr_mat = thr_arr[:, None] * diam[None, :]    # [T, G]
         for v in range(err.shape[-1]):
-            for t_i, thr in enumerate(thresholds):
-                n_correct[v, t_i] += len(
-                    match_poses_bop(err[..., v], thr * diam))
+            n_correct[v] += match_counts_batch(err[..., v], thr_mat)
     recalls = n_correct / max(n_total, 1)             # [V, T]
     mean_per_thr = recalls.mean(axis=0)
     out = {f"recall@{t}": float(r)
@@ -110,27 +141,53 @@ def make_vsd_error_fn(meshes: dict[int, tuple[np.ndarray, np.ndarray]],
                       delta: float = 15.0 / 1000.0,
                       taus: tuple[float, ...] = tuple(
                           float(t) for t in np.arange(0.05, 0.51, 0.05)),
+                      render_cache: int = 64,
                       ) -> Callable[[dict, dict], np.ndarray]:
     """VSD error_fn for ``score_error_recalls`` / ``bop19_average_recalls``.
 
     meshes: {obj_id: (verts [V,3], faces [F,3])}; depth_loader returns the
-    scene test depth (m) for (scene_id, im_id). Renders est/gt ONCE with
-    the native rasterizer (the reference spawns a GL renderer inside
-    eval_calc_errors.py:189-196) and returns the error VECTOR over the
-    BOP19 tau grid 0.05..0.5 — ``score_error_recalls`` averages recalls
-    over taus x thresholds, per the BOP19 definition.
+    scene test depth (m) for (scene_id, im_id). Depth renders are memoized
+    on (object, pose, camera): the GT render is IDENTICAL for every
+    estimate of the same target (and an estimate's render is reused
+    against every GT instance), so a full test-set VSD pass renders each
+    pose once — the reference re-renders per (estimate, GT) pair inside
+    eval_calc_errors.py:189-196. Returns the error VECTOR over the BOP19
+    tau grid 0.05..0.5; ``score_error_recalls`` averages recalls over
+    taus x thresholds, per the BOP19 definition.
     """
-    from .bop_errors import vsd
+    from functools import lru_cache
+
+    from ..ops.rasterizer import render_mesh
+    from .bop_errors import vsd_from_depths
+
+    @lru_cache(maxsize=render_cache)
+    def _render(oid: int, R_b: bytes, t_b: bytes, K_b: bytes,
+                H: int, W: int) -> np.ndarray:
+        v, f = meshes[oid]
+        d, _ = render_mesh(
+            v, f, np.frombuffer(K_b, np.float64).reshape(3, 3),
+            np.frombuffer(R_b, np.float64).reshape(3, 3),
+            np.frombuffer(t_b, np.float64), H, W)
+        return d
 
     def err(est: dict, gt: dict) -> np.ndarray:
         depth = depth_loader(est["scene_id"], est["im_id"])
-        v, f = meshes[gt["obj_id"]]
-        return np.asarray(vsd(
-            np.asarray(est["R"]), np.asarray(est["t"]),
-            np.asarray(gt["R"]), np.asarray(gt["t"]), depth,
-            np.asarray(gt["K"]), v, f, delta=delta, taus=taus,
-            diameter=diameters[gt["obj_id"]]))
+        H, W = depth.shape
+        oid = int(gt["obj_id"])
+        K_b = np.ascontiguousarray(gt["K"], np.float64).tobytes()
+        d_est = _render(
+            oid, np.ascontiguousarray(est["R"], np.float64).tobytes(),
+            np.ascontiguousarray(est["t"], np.float64).tobytes(),
+            K_b, H, W)
+        d_gt = _render(
+            oid, np.ascontiguousarray(gt["R"], np.float64).tobytes(),
+            np.ascontiguousarray(gt["t"], np.float64).tobytes(),
+            K_b, H, W)
+        return np.asarray(vsd_from_depths(
+            d_est, d_gt, depth, delta=delta, taus=taus,
+            diameter=diameters[oid]))
 
+    err.render_cache_info = _render.cache_info  # test/diagnostics hook
     return err
 
 

@@ -119,3 +119,60 @@ def test_vsd_error_fn_with_rasterizer():
     est_bad = {"scene_id": 0, "im_id": 0, "R": R,
                "t": t + np.array([0.2, 0, 0], np.float32)}
     assert err_fn(est_bad, gt).min() > 0.9
+
+
+def test_match_counts_batch_equals_per_threshold_greedy():
+    """Vectorized matching reproduces match_poses_bop for every threshold
+    on random error matrices (incl. degenerate shapes)."""
+    from rdpn6d_tpu.evaluation.bop_score import match_counts_batch
+
+    rng = np.random.RandomState(0)
+    for trial in range(30):
+        E = rng.randint(0, 5)
+        G = rng.randint(1, 5)
+        errors = rng.rand(E, G) * 2.0
+        diam = rng.rand(G) + 0.5
+        thrs = np.linspace(0.05, 1.5, 7)
+        thr_mat = thrs[:, None] * diam[None, :]
+        counts = match_counts_batch(errors, thr_mat)
+        for t_i, thr in enumerate(thrs):
+            want = len(match_poses_bop(errors, thr * diam))
+            assert counts[t_i] == want, (trial, t_i)
+
+
+def test_vsd_render_cache_and_equivalence():
+    """Cached-render VSD equals the direct vsd() computation, and the GT
+    render is computed once across many estimates of the same target."""
+    import jax  # noqa: F401  (keeps platform init consistent)
+
+    from rdpn6d_tpu.evaluation.bop_errors import vsd
+    from rdpn6d_tpu.evaluation.bop_score import make_vsd_error_fn
+    h = 0.05
+    verts = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                      for z in (-h, h)], np.float32)
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    faces = np.array([tri for a, b, c, d in quads
+                      for tri in ((a, b, c), (a, c, d))], np.int32)
+    K = np.array([[300.0, 0, 32], [0, 300.0, 32], [0, 0, 1]])
+    R_gt = np.eye(3)
+    t_gt = np.array([0.0, 0.0, 0.5])
+    depth_scene = np.zeros((64, 64), np.float64)
+
+    diam = float(np.sqrt(3) * 0.1)
+    fn = make_vsd_error_fn({7: (verts, faces)},
+                           lambda s, i: depth_scene, {7: diam},
+                           taus=(0.1, 0.3))
+    gt = {"obj_id": 7, "R": R_gt, "t": t_gt, "K": K}
+    ests = [{"scene_id": 0, "im_id": 0, "R": R_gt,
+             "t": t_gt + np.array([0.0, 0.0, 0.002 * i])}
+            for i in range(4)]
+    got = [fn(e, gt) for e in ests]
+    for e, g in zip(ests, got):
+        want = vsd(e["R"], e["t"], R_gt, t_gt, depth_scene, K, verts,
+                   faces, taus=(0.1, 0.3), diameter=diam)
+        np.testing.assert_allclose(g, want, atol=1e-12)
+    info = fn.render_cache_info()
+    # est0 shares the GT pose -> 4 unique renders; the GT render is
+    # reused for ests 1..3 and est0 hits the GT entry = 4 hits
+    assert info.misses == 4 and info.hits == 4, info

@@ -1,5 +1,6 @@
 """Evaluation metrics against hand-computed golden values."""
 
+import os
 import jax.numpy as jnp
 import numpy as np
 
@@ -185,3 +186,46 @@ def test_object_with_zero_predictions_still_counts_as_failures():
     assert res["per_obj"]["a"]["ad_10"] == 50.0   # 1 hit of 2 GT
     assert res["per_obj"]["b"]["ad_10"] == 0.0    # all 3 GT are misses
     np.testing.assert_allclose(res["mean"]["ad_10"], 25.0)
+
+
+def test_recall_curve_dumps(tmp_path):
+    """eval_plots counterpart: recall-vs-threshold CSVs per error type
+    with per-object + MEAN columns (reference lib/pysixd/eval_plots.py)."""
+    from rdpn6d_tpu.evaluation.plots import dump_recall_curves, recall_curve
+
+    errs = {
+        "ape": {"ad": np.array([0.005, 0.02, np.inf]),
+                "re": np.array([1.0, 3.0, np.inf]),
+                "te": np.array([0.001, 0.02, np.inf]),
+                "proj": np.array([2.0, 10.0, np.inf])},
+        "can": {"ad": np.array([0.01, 0.01]),
+                "re": np.array([2.0, 2.0]),
+                "te": np.array([0.005, 0.005]),
+                "proj": np.array([3.0, 3.0])},
+    }
+    diam = {"ape": 0.1, "can": 0.08}
+    out = dump_recall_curves(errs, diam, str(tmp_path), png=False)
+    names = {os.path.basename(p) for p in out}
+    assert {"recall_ad.csv", "recall_re.csv", "recall_te.csv",
+            "recall_proj.csv"} <= names
+
+    import csv as _csv
+    with open(tmp_path / "recall_ad.csv") as f:
+        rows = list(_csv.reader(f))
+    assert rows[0] == ["threshold_diameter_frac", "ape", "can", "MEAN"]
+    data = np.array(rows[1:], np.float64)
+    # at 0.1d: ape has 1/3 below 0.01m? 0.005<0.01 -> 1/3; can 0/2 below
+    # 0.008 -> 0; find the grid row closest to 0.1
+    i = np.argmin(np.abs(data[:, 0] - 0.1))
+    assert abs(data[i, 1] - 1 / 3) < 1e-6
+    assert data[i, 2] == 0.0
+    np.testing.assert_allclose(data[:, 3],
+                               (data[:, 1] + data[:, 2]) / 2, atol=1e-5)
+    # monotone nondecreasing, inf rows never counted
+    assert (np.diff(data[:, 1]) >= -1e-12).all()
+    assert data[-1, 1] <= 2 / 3 + 1e-5
+
+    # unit check on the standalone helper
+    r = recall_curve(np.array([1.0, 2.0, np.inf]),
+                     np.array([0.5, 1.5, 2.5]))
+    np.testing.assert_allclose(r, [0, 1 / 3, 2 / 3])
