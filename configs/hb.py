@@ -1,0 +1,25 @@
+"""HomebrewedDB (33 objects; PBR training. BOP withholds test GT —
+local eval runs the val_primesense scenes).
+
+Full-dataset config in the flagship GDRN/RDPN recipe (the reference ships
+per-object SO configs for these datasets — configs/so.py:hb/<obj>
+reproduces that protocol; this is the all-objects single-model variant).
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="hb")
+    return cfg.apply_opts([
+        'data.train_datasets=["hb_pbr_train"]',
+        'data.test_datasets=["hb_bop_test"]',
+        "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',
+        "data.change_bg_prob=0.5",
+        "data.truncate_fg=true",
+        "head.num_classes=33",
+        "solver.total_epochs=40",
+        'test.error_types="ad,adi,AUCad,re,te,proj,mssd,mspd"',
+        'train.output_dir="output/hb"',
+    ])

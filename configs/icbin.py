@@ -1,0 +1,24 @@
+"""IC-BIN (2 objects, bin-picking clutter; PBR training + BOP19 test).
+
+Full-dataset config in the flagship GDRN/RDPN recipe (the reference ships
+per-object SO configs for these datasets — configs/so.py:icbin/<obj>
+reproduces that protocol; this is the all-objects single-model variant).
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="icbin")
+    return cfg.apply_opts([
+        'data.train_datasets=["icbin_pbr_train"]',
+        'data.test_datasets=["icbin_bop_test"]',
+        "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',
+        "data.change_bg_prob=0.5",
+        "data.truncate_fg=true",
+        "head.num_classes=2",
+        "solver.total_epochs=40",
+        'test.error_types="ad,adi,AUCad,re,te,proj,mssd,mspd"',
+        'train.output_dir="output/icbin"',
+    ])

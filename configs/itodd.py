@@ -1,0 +1,27 @@
+"""ITODD (28 gray-scale industrial objects; PBR-only training.
+BOP withholds test GT — local eval runs the val scene; the test CSV
+for submission comes from detections via tools/eval_split.py).
+
+Full-dataset config in the flagship GDRN/RDPN recipe (the reference ships
+per-object SO configs for these datasets — configs/so.py:itodd/<obj>
+reproduces that protocol; this is the all-objects single-model variant).
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="itodd")
+    return cfg.apply_opts([
+        'data.train_datasets=["itodd_pbr_train"]',
+        'data.test_datasets=["itodd_bop_test"]',
+        "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',
+        "data.change_bg_prob=0.5",
+        "data.truncate_fg=true",
+        "head.num_classes=28",
+        "loss.pm_loss_sym=true",
+        "solver.total_epochs=40",
+        'test.error_types="ad,adi,AUCad,re,te,proj,mssd,mspd"',
+        'train.output_dir="output/itodd"',
+    ])

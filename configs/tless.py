@@ -1,0 +1,26 @@
+"""T-LESS (30 texture-less industrial objects, many symmetric;
+primesense real train + BOP19 test_primesense protocol).
+
+Full-dataset config in the flagship GDRN/RDPN recipe (the reference ships
+per-object SO configs for these datasets — configs/so.py:tless/<obj>
+reproduces that protocol; this is the all-objects single-model variant).
+"""
+
+from rdpn6d_tpu.config import Config
+
+
+def get_config() -> Config:
+    cfg = Config(exp_name="tless")
+    return cfg.apply_opts([
+        'data.train_datasets=["tless_primesense_train"]',
+        'data.test_datasets=["tless_bop_test"]',
+        "data.color_aug_prob=0.8",
+        'data.color_aug_type="code"',
+        "data.change_bg_prob=0.5",
+        "data.truncate_fg=true",
+        "head.num_classes=30",
+        "loss.pm_loss_sym=true",
+        "solver.total_epochs=40",
+        'test.error_types="ad,adi,AUCad,re,te,proj,mssd,mspd"',
+        'train.output_dir="output/tless"',
+    ])

@@ -60,3 +60,28 @@ def test_variant_suffix_only_split_when_path_missing(tmp_path):
                  "def get_config():\n    return Config(exp_name='w')\n")
     cfg = load_config(str(p))
     assert cfg.exp_name == "w"
+
+
+def test_all_full_dataset_configs_load():
+    """Every full-dataset config module loads, points at registered
+    splits, and has a num_classes matching its dataset ref."""
+    from rdpn6d_tpu.config import load_config
+    from rdpn6d_tpu.data.bop import get_split
+    from rdpn6d_tpu.data.refs import get_ref
+
+    expect_nc = {"lm13": 13, "lmo": 8, "ycbv": 21, "mp6d": 20,
+                 "tless": 30, "tudl": 3, "itodd": 28, "hb": 33,
+                 "icbin": 2, "mini": 1}
+    for name, nc in expect_nc.items():
+        cfg = load_config(f"configs/{name}.py")
+        if name not in ("mini",):
+            assert cfg.head.num_classes == nc, name
+        for split_name in (*cfg.data.train_datasets,
+                           *cfg.data.train2_datasets,
+                           *cfg.data.test_datasets):
+            split = get_split(split_name)  # raises on unknown
+            ref = get_ref(split.ref_name)
+            if name not in ("lm13", "lmo", "mini") and split.objs == ():
+                # full-dataset split: num_classes covers every object
+                assert cfg.head.num_classes == len(ref.obj_ids), \
+                    (name, split_name)
