@@ -21,3 +21,15 @@ Layer map (bottom to top):
 """
 
 __version__ = "0.1.0"
+
+# Platform override honored by every entry point (CLI, tools, tests):
+# some environments pin JAX_PLATFORMS at interpreter startup via
+# sitecustomize, where a plain env var set by a parent process loses.
+# jax.config wins as long as no backend has been initialized, and this
+# package is imported before any tool touches a backend.
+import os as _os
+
+if _os.environ.get("RDPN6D_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RDPN6D_PLATFORM"])

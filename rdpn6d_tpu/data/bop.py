@@ -543,6 +543,16 @@ def _register_defaults() -> None:
     register_split(Split("lm_imgn_13_train_1k_per_obj", "lm_imgn", "imgn",
                          objs=LM13_OBJECTS, n_per_obj=1000,
                          per_obj_index="image_set/train_{obj}.txt"))
+    # mini rehearsal dataset (tools/make_mini_bop.py renders it into the
+    # lm tree under reserved scenes 91/92): exercises the FULL on-disk
+    # protocol — compute_fps -> gen_xyz_crop -> train -> est-bbox eval ->
+    # BOP19 AR — without any real dataset (tools/rehearse_protocol.py)
+    register_split(Split("lm_mini_train", "lm", "train", scene_ids=(91,),
+                         objs=("ape", "can", "driller")))
+    register_split(Split("lm_mini_test", "lm", "test", scene_ids=(92,),
+                         objs=("ape", "can", "driller"),
+                         filter_invalid=False,
+                         targets_file="test_targets_mini.json"))
     # blender renders (lm_blender.py:301-340: BB8 training set)
     register_split(Split("lm_blender_13_train", "lm_renders_blender",
                          "renders", objs=LM13_OBJECTS,

@@ -42,6 +42,7 @@ class DenseHead(nn.Module):
     gn_groups: int = 32
     dtype: Any = jnp.float32
     int8: bool = False              # quantize the body convs (models/quant.py)
+    int8_static: bool = False       # calibrated static activation scales
 
     @nn.compact
     def __call__(self, x, train: bool = False, skip64=None):
@@ -64,7 +65,7 @@ class DenseHead(nn.Module):
         x = nn.relu(x)
         if skip64 is not None:
             x = jnp.concatenate([x, skip64.astype(x.dtype)], axis=-1)
-        conv = conv_factory(self.int8, self.dtype)
+        conv = conv_factory(self.int8, self.dtype, self.int8_static)
         for i in range(self.num_layers):
             if i >= 3:  # extra layers upsample further (reference :104)
                 from ..ops.resize import upsample_bilinear_align_corners

@@ -41,7 +41,19 @@ def quantize_symmetric(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
 
 class Int8Conv(nn.Module):
     """Drop-in replacement for ``nn.Conv(..., use_bias=False)`` that runs
-    the contraction in int8 on the MXU. Output dtype = ``dtype``."""
+    the contraction in int8 on the MXU. Output dtype = ``dtype``.
+
+    Activation scales come in three modes:
+    - dynamic (default): per-sample absmax reduction at apply time — the
+      measured round-2 bottleneck: XLA cannot fuse across the reduction,
+      so every conv pays dequant->bn->relu->requant HBM round-trips.
+    - calibration: apply with ``mutable=["quant"]`` — the conv runs in
+      FULL precision and records the running absmax of its input into a
+      ``quant/act_amax`` variable (offline, N batches, bf16 accuracy).
+    - static (``static_act=True``): the stored calibrated scale is a
+      compile-time-shaped SCALAR, so the requantize is a pure elementwise
+      op that fuses into the preceding bn/relu — no reduction at all.
+    """
 
     features: int
     kernel_size: Sequence[int]
@@ -49,6 +61,7 @@ class Int8Conv(nn.Module):
     padding: Any = "SAME"
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -56,22 +69,45 @@ class Int8Conv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (kh, kw, x.shape[-1], self.features), jnp.float32)
-        # per-output-channel weight scale (reduce H,W,I)
-        wq, sw = quantize_symmetric(kernel, axis=(0, 1, 2))   # sw [1,1,1,O]
-        # dynamic PER-SAMPLE activation scale (reduce H,W,C): finer than
-        # per-tensor, still factors out of the conv as a [N,1,1,1] scale
-        xq, sx = quantize_symmetric(x, axis=(1, 2, 3))        # sx [N,1,1,1]
-
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
-        acc = jax.lax.conv_general_dilated(
-            xq, wq, tuple(self.strides), pad,
-            dimension_numbers=jax.lax.conv_dimension_numbers(
-                x.shape, wq.shape, ("NHWC", "HWIO", "NHWC")),
-            preferred_element_type=jnp.int32)
-        scale = (sx * sw.reshape(1, 1, 1, -1)).astype(jnp.float32)
-        y = acc.astype(jnp.float32) * scale
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+
+        # the quant collection exists ONLY for static_act models: a
+        # dynamic-mode Int8Conv keeps the exact bf16 variable tree (init
+        # makes every collection mutable, so gate on the attribute, not
+        # on is_mutable_collection alone)
+        calibrating = False
+        if self.static_act:
+            amax_var = self.variable("quant", "act_amax",
+                                     lambda: jnp.zeros((), jnp.float32))
+            calibrating = self.is_mutable_collection("quant")
+        if calibrating:
+            # record the running input absmax; compute in full precision
+            # (calibration batches see bf16-exact activations)
+            amax_var.value = jnp.maximum(
+                amax_var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), kernel, tuple(self.strides), pad,
+                dimension_numbers=dn)
+        else:
+            # per-output-channel weight scale (reduce H,W,I)
+            wq, sw = quantize_symmetric(kernel, axis=(0, 1, 2))
+            if self.static_act:
+                sx = jnp.maximum(amax_var.value, 1e-12) / 127.0  # scalar
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                              -127, 127).astype(jnp.int8)
+                sx = sx.reshape(1, 1, 1, 1)
+            else:
+                # dynamic PER-SAMPLE activation scale (reduce H,W,C)
+                xq, sx = quantize_symmetric(x, axis=(1, 2, 3))
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, tuple(self.strides), pad, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            scale = (sx * sw.reshape(1, 1, 1, -1)).astype(jnp.float32)
+            y = acc.astype(jnp.float32) * scale
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -79,12 +115,13 @@ class Int8Conv(nn.Module):
         return y.astype(self.dtype)
 
 
-def conv_factory(int8: bool, dtype):
+def conv_factory(int8: bool, dtype, static_act: bool = False):
     """Returns a constructor compatible with the ``nn.Conv`` call sites in
     the trunk/head. When ``int8`` it builds :class:`Int8Conv` with an
     explicit ``name`` continuing the plain-conv auto-name sequence, so the
     parameter tree is identical either way. The caller must create convs in
-    the same order as the bf16 model."""
+    the same order as the bf16 model. ``static_act`` selects calibrated
+    static activation scales (see :class:`Int8Conv`)."""
     counter = [0]
 
     def make(features, kernel_size, strides=(1, 1), padding="SAME",
@@ -95,9 +132,27 @@ def conv_factory(int8: bool, dtype):
         if int8:
             return Int8Conv(features, kernel_size, strides=strides,
                             padding=padding, use_bias=use_bias, dtype=dtype,
-                            name=name)
+                            static_act=static_act, name=name)
         return nn.Conv(features, kernel_size, strides=strides,
                        padding=padding, use_bias=use_bias, dtype=dtype,
                        name=name)
 
     return make
+
+
+def calibrate_quant(model, params, batch_stats, batches) -> dict:
+    """Offline activation-scale calibration: run N batches through the
+    int8-built model with the quant collection mutable (convs compute in
+    full precision and record input absmax). Returns the ``quant``
+    variable collection to pass at serving time
+    (``model.apply({... , "quant": quant}, ...)`` with static_act=True).
+    """
+    quant = None
+    for batch in batches:
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        _, mut = model.apply(variables, batch, train=False,
+                             mutable=["quant"])
+        quant = mut["quant"]
+    return quant

@@ -40,6 +40,9 @@ class RDPN(nn.Module):
     int8: Any = False               # W8A8 serving mode (models/quant.py):
     # False | True/"all" | "trunk" | "head". Same param tree as the bf16
     # model, so bf16-trained checkpoints serve in int8 directly.
+    int8_static: bool = False       # calibrated static activation scales
+    # (models/quant.calibrate_quant): removes the per-conv dynamic absmax
+    # reductions that block XLA fusion in dynamic mode
 
     @property
     def _int8_trunk(self) -> bool:
@@ -66,7 +69,8 @@ class RDPN(nn.Module):
         trunk_cls = nn.remat(ResNetTrunk, static_argnums=(2, 3)) \
             if cfg.solver.remat else ResNetTrunk
         trunk = trunk_cls(cfg.backbone.depth, dtype=self.dtype,
-                          int8=self._int8_trunk, name="backbone")
+                          int8=self._int8_trunk,
+                          int8_static=self.int8_static, name="backbone")
         # train/return_skips positional: static under nn.remat
         if cfg.backbone.rot_concat:
             feat, skips = trunk(rgb, train, True)
@@ -107,6 +111,7 @@ class RDPN(nn.Module):
             gn_groups=head_cfg.gn_groups,
             dtype=self.dtype,
             int8=self._int8_head,
+            int8_static=self.int8_static,
             name="dense_head",
             # train is positional: under nn.remat it must be a STATIC
             # argument (it selects batch-norm mode)

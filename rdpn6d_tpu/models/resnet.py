@@ -31,10 +31,11 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     int8: bool = False              # W8A8 serving mode (models/quant.py)
+    int8_static: bool = False       # calibrated static activation scales
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = conv_factory(self.int8, self.dtype)
+        conv = conv_factory(self.int8, self.dtype, self.int8_static)
         norm = lambda: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             param_dtype=jnp.float32)
@@ -57,10 +58,11 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = conv_factory(self.int8, self.dtype)
+        conv = conv_factory(self.int8, self.dtype, self.int8_static)
         norm = lambda: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             param_dtype=jnp.float32)
@@ -87,13 +89,14 @@ class ResNetTrunk(nn.Module):
     depth: int = 34
     dtype: Any = jnp.float32
     int8: bool = False              # W8A8 serving mode (models/quant.py)
+    int8_static: bool = False       # calibrated static activation scales
 
     @nn.compact
     def __call__(self, x, train: bool = False,
                  return_skips: bool = False):
         block_kind, layers = RESNET_SPECS[self.depth]
         block: Callable = BasicBlock if block_kind == "basic" else Bottleneck
-        conv = conv_factory(self.int8, self.dtype)
+        conv = conv_factory(self.int8, self.dtype, self.int8_static)
 
         x = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -107,7 +110,7 @@ class ResNetTrunk(nn.Module):
             for i in range(n_blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 x = block(planes, stride, dtype=self.dtype,
-                          int8=self.int8)(x, train=train)
+                          int8=self.int8, int8_static=self.int8_static)(x, train=train)
             skips.append(x)
 
         if return_skips:

@@ -94,22 +94,27 @@ def make_train_step(cfg: Config, model: RDPN,
 
 
 def make_eval_step(cfg: Config, model: RDPN,
-                   use_kabsch: bool | None = None) -> Callable:
+                   use_kabsch: bool | None = None,
+                   quant: Any = None) -> Callable:
     """Returns jitted (state, batch) -> pose outputs (R_ego, t, mask, ...).
 
     With ``use_kabsch`` (or cfg.test.use_pnp + pnp_type ransac_kabsch), the
     net pose seeds an on-device RANSAC-Kabsch geometric refinement over the
     dense correspondences — the TPU replacement for the reference's
     process_net_and_pnp cv2 path (gdrn_evaluator.py:187-314).
+    ``quant``: calibrated activation-scale collection for int8 static
+    serving (models/quant.calibrate_quant).
     """
     if use_kabsch is None:
         use_kabsch = (cfg.test.use_pnp
                       and cfg.test.pnp_type == "ransac_kabsch")
 
     def eval_fn(state: TrainState, batch: dict[str, jax.Array]):
-        out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch, train=False)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, batch, train=False)
         result = {
             "rot_ego": out["rot_ego"],
             "trans": out["trans"],

@@ -93,3 +93,66 @@ def test_int8_conv_uses_integer_mxu_path():
     assert "xi8>" in txt, "no int8 operands in lowered HLO"
     assert "convolution" in txt and "xi32>" in txt, \
         "no int32-accumulating convolution in lowered HLO"
+
+
+def test_int8_static_calibration_roundtrip():
+    """Calibration records absmax; the static path quantizes with the
+    stored SCALAR scale (no reduction) and stays close to fp."""
+    from flax import linen as nn
+
+    k = jax.random.PRNGKey(2)
+    x = jax.random.normal(k, (2, 16, 16, 32))
+    ref = nn.Conv(48, (3, 3), padding=1, use_bias=False,
+                  dtype=jnp.float32, name="Conv_0")
+    v = ref.init(k, x)
+    yr = np.asarray(ref.apply(v, x), np.float64)
+
+    q_static = Int8Conv(48, (3, 3), padding=1, dtype=jnp.float32,
+                        static_act=True, name="Conv_0")
+    # calibration pass: full-precision output + recorded absmax
+    y_cal, mut = q_static.apply(v, x, mutable=["quant"])
+    np.testing.assert_allclose(np.asarray(y_cal), yr, atol=1e-5)
+    amax = float(jax.tree_util.tree_leaves(mut["quant"])[0])
+    assert amax == pytest.approx(float(jnp.abs(x).max()), rel=1e-6)
+
+    # static serving: quantized against the calibrated scale
+    y_s = np.asarray(q_static.apply({**v, **mut}, x), np.float64)
+    scale = np.abs(yr).max()
+    assert np.abs(y_s - yr).max() / scale < 0.05
+    # running max across a second, larger batch
+    x2 = x * 2.0
+    _, mut2 = q_static.apply({**v, **mut}, x2, mutable=["quant"])
+    amax2 = float(jax.tree_util.tree_leaves(mut2["quant"])[0])
+    assert amax2 == pytest.approx(2.0 * amax, rel=1e-6)
+
+
+def test_full_model_int8_static_close_to_bf16():
+    """calibrate_quant over the full model; static-int8 head output stays
+    close to the bf16 output and the param tree is unchanged."""
+    from rdpn6d_tpu.models.quant import calibrate_quant
+
+    cfg = Config().apply_opts(TINY)
+    batch = dummy_batch(cfg, 2)
+    # realistic activations: zero inputs would leave some calibrated
+    # scales at 0 (dead channels)
+    batch["roi_img"] = jax.random.normal(
+        jax.random.PRNGKey(3), batch["roi_img"].shape, jnp.float32)
+    batch["roi_coord_2d"] = jax.random.normal(
+        jax.random.PRNGKey(4), batch["roi_coord_2d"].shape, jnp.float32)
+    bf16 = RDPN(cfg, dtype=jnp.float32)
+    v = bf16.init(jax.random.PRNGKey(0), batch, train=False)
+    out_ref = bf16.apply(v, batch, train=False)
+
+    m_s = RDPN(cfg, dtype=jnp.float32, int8="head", int8_static=True)
+    quant = calibrate_quant(m_s, v["params"], v.get("batch_stats", {}),
+                            [batch])
+    assert quant  # non-empty collection
+    out_s = m_s.apply({"params": v["params"],
+                       "batch_stats": v.get("batch_stats", {}),
+                       "quant": quant}, batch, train=False)
+    a = np.asarray(out_ref["coord"], np.float64)
+    b = np.asarray(out_s["coord"], np.float64)
+    assert np.abs(a - b).max() < 0.15  # bounded quantization error
+    # every calibrated scale is positive after one batch
+    for leaf in jax.tree_util.tree_leaves(quant):
+        assert float(leaf) > 0.0

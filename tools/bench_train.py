@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Training-step throughput + profile harness (flagship shape).
+
+Measures fwd+bwd+optimizer wall time per step at given batch sizes on the
+real chip, with the relay-safe methodology from PERF.md (distinct inputs
+per iteration, value readback per iteration). ``--profile`` additionally
+captures a jax.profiler device trace of a few steps for breakdown work.
+
+Usage:
+  python tools/bench_train.py [--batch-sizes 24 96 192] [--iters 12]
+      [--remat] [--profile /tmp/train_trace] [--optimizer ranger]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-sizes", type=int, nargs="*",
+                   default=[24, 96, 192])
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--optimizer", default="ranger")
+    p.add_argument("--profile", default="",
+                   help="capture a device trace of 3 steps into this dir")
+    p.add_argument("--opts", nargs="*", default=[])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from rdpn6d_tpu.config import Config
+    from rdpn6d_tpu.models import RDPN, dummy_batch
+    from rdpn6d_tpu.parallel import (create_mesh, create_train_state,
+                                     make_sharded_train_step, replicate,
+                                     shard_batch)
+    from rdpn6d_tpu.solver import build_optimizer
+
+    opts = [f'solver.optimizer="{args.optimizer}"', *args.opts]
+    if args.remat:
+        opts.append("solver.remat=true")
+    cfg = Config().apply_opts(opts)
+    mesh = create_mesh(1)
+
+    model = RDPN(cfg, dtype=jnp.bfloat16)
+    peak = 197e12  # v5e bf16 (PERF.md: 394 is the int8 figure)
+
+    for bs in args.batch_sizes:
+        batch = dummy_batch(cfg, bs)
+        # distinct inputs per iteration: the relay caches executions with
+        # identical (executable, args)
+        rng = np.random.RandomState(0)
+        imgs = [jnp.asarray(rng.rand(*batch["roi_img"].shape)
+                            .astype(np.float32)) for _ in range(4)]
+
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        tx = build_optimizer(cfg, total_iters=1000)
+        state = replicate(create_train_state(cfg, variables, tx), mesh)
+        step_fn = make_sharded_train_step(cfg, model, tx, mesh)
+        batch = shard_batch(batch, mesh)
+
+        def run(i):
+            b = dict(batch)
+            b["roi_img"] = imgs[i % len(imgs)] + (i * 1e-6)
+            return step_fn(state, b)
+
+        # compile + warmup
+        for i in range(args.warmup):
+            st, metrics = run(i)
+            float(metrics["total_loss"])  # value readback forces execution
+
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                for i in range(3):
+                    st, metrics = run(i)
+                    float(metrics["total_loss"])
+            print(f"trace written to {args.profile}")
+
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            st, metrics = run(i + 7)
+            float(metrics["total_loss"])  # per-iter readback (relay-safe)
+        dt = (time.perf_counter() - t0) / args.iters
+
+        # FLOPs from XLA cost analysis of the compiled step
+        try:
+            lowered = jax.jit(step_fn).lower(state, batch)
+            flops = lowered.compile().cost_analysis()["flops"]
+        except Exception:
+            flops = 0.0
+        line = {
+            "metric": "train poses/sec/chip (fwd+bwd+%s%s)"
+                      % (args.optimizer, "+remat" if args.remat else ""),
+            "batch": bs,
+            "ms_per_step": round(dt * 1000, 1),
+            "value": round(bs / dt, 1),
+            "unit": "poses/sec",
+            "tflops": round(flops / dt / 1e12, 1) if flops else None,
+            "mfu_pct": round(100 * flops / dt / peak, 1) if flops else None,
+        }
+        print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,12 +30,20 @@ def main():
     p.add_argument("--counts", type=int, nargs="*",
                    default=[4, 8, 12, 16, 20, 32, 64, 256])
     p.add_argument("--out", default="")
+    p.add_argument("--objs", nargs="*", default=[],
+                   help="object names to process (default: all with a "
+                        "model on disk; partial trees/subsets welcome)")
     args = p.parse_args()
 
     ref = get_ref(args.dataset)
     out_path = args.out or os.path.join(ref.model_dir, "fps_points.pkl")
+    obj_ids = [ref.obj2id[o] for o in args.objs] if args.objs \
+        else [oid for oid in ref.obj_ids
+              if os.path.exists(ref.model_path(oid))]
+    if not obj_ids:
+        raise SystemExit(f"no models found under {ref.model_dir}")
     result = {}
-    for oid in ref.obj_ids:
+    for oid in obj_ids:
         ply = load_ply(ref.model_path(oid), vertex_scale=ref.vertex_scale)
         pts = ply["pts"].astype("float32")
         entry = {}

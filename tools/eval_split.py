@@ -30,6 +30,9 @@ def main():
                    help="external detections json (est-bbox eval)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--csv", default="")
+    p.add_argument("--json", default="",
+                   help="write the metric dict to this json file "
+                        "(machine-readable gate for rehearsal/CI)")
     p.add_argument("--opts", nargs="*", default=[])
     args = p.parse_args()
 
@@ -38,8 +41,23 @@ def main():
     from rdpn6d_tpu.engine.eval_runner import run_eval
 
     cfg = load_config(args.config_file, args.opts)
-    return run_eval(cfg, args.ckpt_dir, args.split, dets_path=args.dets,
-                    batch_size=args.batch_size, csv_path=args.csv or None)
+    result = run_eval(cfg, args.ckpt_dir, args.split, dets_path=args.dets,
+                      batch_size=args.batch_size,
+                      csv_path=args.csv or None)
+    if args.json:
+        import json
+
+        def _plain(x):
+            if isinstance(x, dict):
+                return {k: _plain(v) for k, v in x.items()}
+            try:
+                return float(x)
+            except (TypeError, ValueError):
+                return str(x)
+
+        with open(args.json, "w") as f:
+            json.dump(_plain(result), f, indent=2)
+    return result
 
 
 if __name__ == "__main__":

@@ -21,7 +21,21 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_scenes(cfg, n_views, num_regions, seed=0):
+def _tetra_mesh():
+    """Irregular ASYMMETRIC tetrahedron (meters) — the make_mini_bop
+    'ape' object; its orientation is fully identifiable from geometry,
+    unlike the cube's 24-fold-ambiguous faces."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_mini_bop import _subdivide
+
+    v = np.array([[0, 0, 55], [50, -30, -35], [-45, -35, -30],
+                  [5, 60, -30]], np.float64)
+    f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
+    v, f = _subdivide(v, f, 3)
+    return (v / 1000.0).astype(np.float32), f
+
+
+def build_scenes(cfg, n_views, num_regions, seed=0, mesh="cube"):
     import cv2
     import jax
     import jax.numpy as jnp
@@ -32,7 +46,15 @@ def build_scenes(cfg, n_views, num_regions, seed=0):
 
     K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
                  np.float32)
-    pts = cube_points(n_per_edge=9)
+    if mesh == "cube":
+        pts = cube_points(n_per_edge=9)
+        extent = np.array([0.1, 0.1, 0.1], np.float32)
+    else:
+        verts, faces = _tetra_mesh()
+        from rdpn6d_tpu.ops.rasterizer import render_mesh
+
+        pts = verts
+        extent = (verts.max(0) - verts.min(0)).astype(np.float32)
     fps = pts[fps_numpy(pts, num_regions)]
     rng = np.random.RandomState(seed)
     samples = []
@@ -41,19 +63,28 @@ def build_scenes(cfg, n_views, num_regions, seed=0):
         R = cv2.Rodrigues(rng.randn(3) * 0.8)[0].astype(np.float32)
         t = np.array([rng.uniform(-0.08, 0.08), rng.uniform(-0.06, 0.06),
                       rng.uniform(0.5, 1.0)], np.float32)
-        depth, xyz = render_cube_depth(R, t, K, 480, 640, n_samples=160)
-        mask = (depth > 0).astype(np.float32)
+        if mesh == "cube":
+            depth, xyz = render_cube_depth(R, t, K, 480, 640,
+                                           n_samples=160)
+            mask = (depth > 0).astype(np.float32)
+            rgb = np.dstack([mask * 180 + 40] * 3) \
+                + rng.rand(480, 640, 3).astype(np.float32) * 30
+        else:
+            depth, xyz = render_mesh(verts, faces, K, R, t, 480, 640)
+            mask = (depth > 0).astype(np.float32)
+            # NOCS-style albedo: RGB carries model-coordinate signal
+            albedo = (xyz / extent + 0.5) * 175.0 + 40.0
+            rgb = np.where(mask[..., None] > 0, albedo,
+                           rng.rand(480, 640, 3) * 60.0)
         ys, xs = np.nonzero(mask)
         proj = K @ t
-        rgb = np.dstack([mask * 180 + 40] * 3) \
-            + rng.rand(480, 640, 3).astype(np.float32) * 30
         samples.append({
             "rgb": rgb.astype(np.float32), "depth": depth, "xyz": xyz,
             "mask_visib": mask, "K": K,
             "bbox": np.array([xs.min(), ys.min(), xs.max(), ys.max()],
                              np.float32),
             "gt_rot": R, "gt_trans": t, "fps": fps.astype(np.float32),
-            "extent": np.array([0.1, 0.1, 0.1], np.float32),
+            "extent": extent,
             "centroid_2d": (proj[:2] / proj[2]).astype(np.float32),
         })
         poses.append((R, t))
@@ -100,6 +131,11 @@ def main():
     p.add_argument("--kabsch", action="store_true",
                    help="also evaluate with the on-device RANSAC-Kabsch "
                         "geometric refinement (ops/ransac_kabsch.py)")
+    p.add_argument("--mesh", choices=("cube", "tetra"), default="cube",
+                   help="cube = 24-fold symmetric solid (rotation only "
+                        "identifiable up to symmetry); tetra = irregular "
+                        "ASYMMETRIC mesh — the rig for judging whether "
+                        "Kabsch refinement helps/hurts real rotations")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -123,7 +159,8 @@ def main():
     cfg = Config().apply_opts(opts)
 
     batch, model_pts, poses = build_scenes(cfg, args.n_views,
-                                           cfg.head.num_regions)
+                                           cfg.head.num_regions,
+                                           mesh=args.mesh)
     model = RDPN(cfg, dtype=jnp.bfloat16 if not args.small
                  else jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
@@ -143,22 +180,43 @@ def main():
         for gran in ("all", "trunk", "head"):
             modes.append((f"int8-{gran}",
                           RDPN(cfg, dtype=model.dtype, int8=gran), False))
+        # static-calibrated scales (models/quant.calibrate_quant):
+        # removes the dynamic absmax reductions — the measured fusion
+        # blocker that made dynamic int8 net-slower than bf16 (PERF.md)
+        from rdpn6d_tpu.models.quant import calibrate_quant
+
+        for gran in ("all", "head"):
+            m_s = RDPN(cfg, dtype=model.dtype, int8=gran,
+                       int8_static=True)
+            q = calibrate_quant(m_s, state.params, state.batch_stats,
+                                [batch])
+            modes.append((f"int8-{gran}-static", (m_s, q), False))
     for tag, eval_model, use_kabsch in modes:
-        eval_step = make_eval_step(cfg, eval_model, use_kabsch=use_kabsch)
+        quant = None
+        if isinstance(eval_model, tuple):
+            eval_model, quant = eval_model
+        eval_step = make_eval_step(cfg, eval_model, use_kabsch=use_kabsch,
+                                   quant=quant)
         out = eval_step(state, batch)
-        # the training cube is a 24-fold-symmetric solid: score rotations
-        # sym-aware so re/proj are meaningful (pure-geometry refinement
-        # may legitimately settle on a symmetry-equivalent orientation)
-        ev = PoseEvaluator(models={"cube": model_pts},
-                           diameters={"cube": float(0.1 * np.sqrt(3))},
-                           sym_rots={"cube": _cube_sym_rotations()})
+        # cube: score rotations sym-aware (24-fold-symmetric solid —
+        # pure-geometry refinement may legitimately settle on a
+        # symmetry-equivalent orientation). tetra: NO symmetry bank —
+        # re/proj judge the true rotation.
+        if args.mesh == "cube":
+            sym = _cube_sym_rotations()
+        else:
+            sym = np.eye(3, dtype=np.float32)[None]
+        d2 = ((model_pts[:, None] - model_pts[None]) ** 2).sum(-1)
+        ev = PoseEvaluator(models={args.mesh: model_pts},
+                           diameters={args.mesh: float(np.sqrt(d2.max()))},
+                           sym_rots={args.mesh: sym})
         for i, (R, t) in enumerate(poses):
-            ev.process("cube", np.asarray(out["rot_ego"][i]),
+            ev.process(args.mesh, np.asarray(out["rot_ego"][i]),
                        np.asarray(out["trans"][i]), R, t,
                        np.asarray(batch["roi_cam"][i]), im_id=i)
         res = ev.evaluate()
         print(format_table(res))
-        rec = res["per_obj"]["cube"]
+        rec = res["per_obj"][args.mesh]
         print(f"RESULT[{tag}] ad_10={rec['ad_10']:.1f} "
               f"re_5={rec['re_5']:.1f} te_2={rec['te_2']:.1f} "
               f"AUCad={rec['AUCad']:.1f}")

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Full-protocol rehearsal: generated mini-BOP through the REAL CLI chain.
+
+Proves the assembled on-disk protocol — not just its parts — produces a
+sane number (VERDICT r2 #3; the closest proxy available with no real BOP
+dataset on the machine). Every step is the actual production entry point
+run as a subprocess with ``RDPN6D_DATA_ROOT`` pointing at the generated
+tree:
+
+    1. tools/make_mini_bop.py      render the dataset (native rasterizer)
+    2. tools/compute_fps.py        FPS keypoints -> models/fps_points.pkl
+    3. tools/gen_xyz_crop.py       GT NOCS crops for the train split
+    4. python -m rdpn6d_tpu.main   train (configs/mini.py)
+    5. tools/eval_split.py         GT-bbox eval -> metrics + BOP CSV
+    6. tools/eval_split.py --dets  est-bbox eval (jittered dets + misses)
+    7. tools/score_csv.py --bop19  cached-CSV rescore cross-check
+
+Usage:
+  python tools/rehearse_protocol.py --root /tmp/minibop --run /tmp/mini_run
+      [--epochs 120] [--platform cpu] [--gate]
+
+--gate asserts the accuracy bars (GT-bbox ad_10 >= 95, est-bbox BOP19
+AR(mspd/mssd) sane) and exits non-zero on failure; PERF.md logs the
+per-round result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run(cmd: list[str], env: dict, log: str = "") -> str:
+    print(f"+ {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                          text=True)
+    if log:
+        with open(log, "w") as f:
+            f.write(proc.stdout + "\n=== stderr ===\n" + proc.stderr)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-6000:])
+        raise SystemExit(f"step failed ({proc.returncode}): {cmd}")
+    return proc.stdout + proc.stderr
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True, help="dataset dir to generate")
+    p.add_argument("--run", required=True, help="training output dir")
+    p.add_argument("--n-train", type=int, default=60)
+    p.add_argument("--n-test", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--platform", default="",
+                   help="force JAX_PLATFORMS for all steps (e.g. cpu)")
+    p.add_argument("--skip-make", action="store_true")
+    p.add_argument("--skip-train", action="store_true",
+                   help="reuse an existing checkpoint in --run")
+    p.add_argument("--gate", action="store_true")
+    p.add_argument("--opts", nargs="*", default=[],
+                   help="extra config opts forwarded to train/eval")
+    args = p.parse_args()
+
+    env = dict(os.environ)
+    env["RDPN6D_DATA_ROOT"] = os.path.abspath(args.root)
+    if args.platform:
+        # RDPN6D_PLATFORM: honored by rdpn6d_tpu/__init__.py via
+        # jax.config BEFORE backend init — a plain JAX_PLATFORMS env var
+        # loses to environments whose sitecustomize pins the platform at
+        # interpreter startup
+        env["JAX_PLATFORMS"] = args.platform
+        env["RDPN6D_PLATFORM"] = args.platform
+    py = sys.executable
+    os.makedirs(args.run, exist_ok=True)
+
+    if not args.skip_make:
+        run([py, "tools/make_mini_bop.py", "--out", args.root,
+             "--n-train", str(args.n_train), "--n-test",
+             str(args.n_test)], env)
+    run([py, "tools/compute_fps.py", "--dataset", "lm",
+         "--objs", "ape", "can", "driller"], env)
+    run([py, "tools/gen_xyz_crop.py", "--split", "lm_mini_train"], env)
+
+    opts = [f'train.output_dir="{args.run}"',
+            f"solver.total_epochs={args.epochs}", *args.opts]
+    if not args.skip_train:
+        run([py, "-m", "rdpn6d_tpu.main", "--config-file",
+             "configs/mini.py", "--opts", *opts], env,
+            log=os.path.join(args.run, "train_log.txt"))
+
+    gt_json = os.path.join(args.run, "metrics_gt_bbox.json")
+    run([py, "tools/eval_split.py", "--config-file", "configs/mini.py",
+         "--ckpt-dir", os.path.join(args.run, "ckpt"),
+         "--split", "lm_mini_test", "--json", gt_json,
+         "--csv", os.path.join(args.run, "gt_bbox.csv"),
+         "--opts", *opts], env,
+        log=os.path.join(args.run, "eval_gt_log.txt"))
+
+    est_json = os.path.join(args.run, "metrics_est_bbox.json")
+    est_csv = os.path.join(args.run, "est_bbox.csv")
+    dets = os.path.join(env["RDPN6D_DATA_ROOT"], "lm",
+                        "detections_mini.json")
+    run([py, "tools/eval_split.py", "--config-file", "configs/mini.py",
+         "--ckpt-dir", os.path.join(args.run, "ckpt"),
+         "--split", "lm_mini_test", "--dets", dets, "--json", est_json,
+         "--csv", est_csv, "--opts", *opts], env,
+        log=os.path.join(args.run, "eval_est_log.txt"))
+
+    rescore_out = run([py, "tools/score_csv.py", "--csv", est_csv,
+                       "--split", "lm_mini_test", "--bop19"], env,
+                      log=os.path.join(args.run, "rescore_log.txt"))
+
+    with open(gt_json) as f:
+        gt = json.load(f)
+    with open(est_json) as f:
+        est = json.load(f)
+
+    summary = {
+        "gt_ad_10": gt["mean"].get("ad_10", 0.0),
+        "gt_te_2": gt["mean"].get("te_2", 0.0),
+        "gt_re_5": gt["mean"].get("re_5", 0.0),
+        "gt_per_obj_ad_10": {o: v.get("ad_10", 0.0)
+                             for o, v in gt["per_obj"].items()},
+        "est_ad_10": est["mean"].get("ad_10", 0.0),
+        "est_bop19": est.get("bop19", {}),
+        "rescore_ran": "BOP19:" in rescore_out,
+    }
+    print("REHEARSAL_SUMMARY " + json.dumps(summary), flush=True)
+    with open(os.path.join(args.run, "rehearsal_summary.json"),
+              "w") as f:
+        json.dump(summary, f, indent=2)
+
+    if args.gate:
+        ok = (summary["gt_ad_10"] >= 95.0
+              and summary["est_ad_10"] >= 70.0
+              and summary["rescore_ran"]
+              and all(0.5 <= v <= 1.0
+                      for k, v in summary["est_bop19"].items()
+                      if k.startswith("ar_")))
+        if not ok:
+            raise SystemExit(f"GATE FAILED: {summary}")
+        print("GATE PASSED")
+
+
+if __name__ == "__main__":
+    main()
