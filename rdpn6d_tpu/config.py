@@ -194,6 +194,11 @@ class TestConfig:
     plots: bool = True              # dump recall-vs-threshold curve CSVs
     # (+PNGs when matplotlib exists) next to the BOP CSV — the
     # counterpart of the reference's lib/pysixd/eval_plots.py
+    int8_static: bool = False        # calibrated static activation
+    # scales: calibrate on the first eval batch, then serve with scalar
+    # requant scales (no dynamic absmax reductions). Measured 1.16x
+    # FASTER than bf16 at head granularity with exact accuracy
+    # preservation (PERF.md round 3); dynamic mode measured slower.
     int8: str = ""                   # "" | head | trunk | all — W8A8
     # serving mode (models/quant.py); "head" preserves accuracy (see
     # PERF.md), but bf16 measured faster on v5e — experimental opt-in

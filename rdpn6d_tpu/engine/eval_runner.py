@@ -98,7 +98,9 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
 
     if model is None:
         model = RDPN(cfg, dtype=jnp.bfloat16,
-                     int8=cfg.test.int8 or False)
+                     int8=cfg.test.int8 or False,
+                     int8_static=bool(cfg.test.int8
+                                      and cfg.test.int8_static))
     if state is None:
         variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
                                train=False)
@@ -250,7 +252,30 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
         if meta:
             yield _flush(frames_l, rois_l, meta)
 
-    stats = inference_on_dataset(step_for_driver, state, batches(),
+    batch_iter = batches()
+    if cfg.test.int8 and cfg.test.int8_static:
+        # static int8 serving: calibrate per-layer activation scales on
+        # the FIRST eval batch (full-precision pass recording absmax),
+        # then serve every batch with scalar requant scales — measured
+        # 1.16x faster than bf16 at head granularity (PERF.md round 3)
+        from itertools import chain
+
+        from ..models.quant import calibrate_quant
+
+        first = next(batch_iter, None)
+        if first is not None:
+            b0, _ = first
+            pre = preprocess_rois_grouped(cfg, b0["frames"], b0["rois"],
+                                          key, train=False)
+            pre["roi_cls"] = b0["roi_cls"]
+            quant = calibrate_quant(model, state.params,
+                                    state.batch_stats, [pre])
+            eval_step = make_eval_step(cfg, model, quant=quant)
+            batch_iter = chain([first], batch_iter)
+            logger.info("int8 static scales calibrated on the first "
+                        "eval batch")
+
+    stats = inference_on_dataset(step_for_driver, state, batch_iter,
                                  evaluator)
 
     # multi-host: pool predictions before rank-0 scoring

@@ -40,7 +40,9 @@ class Predictor:
         self.cfg = cfg
         self.assets = assets
         self.batch_size = batch_size
-        self.model = RDPN(cfg, dtype=dtype, int8=cfg.test.int8 or False)
+        self.model = RDPN(cfg, dtype=dtype, int8=cfg.test.int8 or False,
+                          int8_static=bool(cfg.test.int8
+                                           and cfg.test.int8_static))
         variables = self.model.init(jax.random.PRNGKey(0),
                                     dummy_batch(cfg, 2), train=False)
         if params_pkl:
@@ -74,6 +76,8 @@ class Predictor:
                 "for smoke tests")
         self._eval_step = make_eval_step(cfg, self.model)
         self._key = jax.random.PRNGKey(0)
+        self._needs_calibration = bool(cfg.test.int8
+                                       and cfg.test.int8_static)
 
     def predict(self, rgb: np.ndarray, depth: np.ndarray, K: np.ndarray,
                 detections: Sequence[Detection]) -> list[dict[str, Any]]:
@@ -111,6 +115,16 @@ class Predictor:
             batch["roi_cls"] = jnp.asarray(
                 [self.assets.full_idx(d.obj_id) for d in dets_p],
                 jnp.int32)
+            if self._needs_calibration:
+                # int8 static serving: calibrate activation scales on the
+                # first served batch, then lock them in (PERF.md round 3)
+                from ..models.quant import calibrate_quant
+
+                quant = calibrate_quant(self.model, self.state.params,
+                                        self.state.batch_stats, [batch])
+                self._eval_step = make_eval_step(self.cfg, self.model,
+                                                 quant=quant)
+                self._needs_calibration = False
             out = self._eval_step(self.state, batch)
             R = np.asarray(out["rot_ego"])
             t = np.asarray(out["trans"])

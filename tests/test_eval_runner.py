@@ -398,3 +398,35 @@ def test_run_eval_multi_instance_frames_split_across_batches(
         f = ln.split(",")
         times[(f[0], f[1])].add(f[-1])
     assert all(len(v) == 1 for v in times.values()), times
+
+
+def test_run_eval_int8_static(full_dataset, monkeypatch, tmp_path):
+    """test.int8 + test.int8_static: run_eval calibrates activation
+    scales on the first eval batch and serves static int8."""
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", full_dataset)
+    register_split(Split("tiny_eval_q", "lm", "test", scene_ids=(1,)))
+
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+        'test.int8="head"', "test.int8_static=true",
+        f'train.output_dir="{tmp_path}"',
+    ])
+
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.engine.eval_runner import run_eval
+    from rdpn6d_tpu.models import RDPN
+
+    model = RDPN(cfg, dtype=jnp.float32, int8="head", int8_static=True)
+    result = run_eval(cfg, ckpt_dir=str(tmp_path / "nockpt"),
+                      allow_random_init=True,
+                      split_name="tiny_eval_q", batch_size=2,
+                      model=model,
+                      csv_path=str(tmp_path / "q.csv"))
+    assert result["stats"]["n_rois"] >= 3
+    rec = result["per_obj"]["ape"]
+    assert 0.0 <= rec["ad_10"] <= 100.0
+    csv = (tmp_path / "q.csv").read_text().strip().splitlines()
+    assert len(csv) == 4

@@ -53,3 +53,37 @@ def test_predictor_refuses_random_init(tmp_path):
     with pytest.raises(FileNotFoundError, match="no checkpoint"):
         Predictor(cfg, assets, ckpt_dir=str(tmp_path / "empty"),
                   batch_size=2, dtype=jnp.float32)
+
+
+def test_predictor_int8_static_serving():
+    """int8 static mode: first served batch calibrates, later batches
+    serve with locked scales; poses stay close to the bf16 path."""
+    opts = [
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+    ]
+    cfg = Config().apply_opts(opts)
+    cfg_q = Config().apply_opts(opts + ['test.int8="head"',
+                                        "test.int8_static=true"])
+    assets = synthetic_class_assets(num_regions=4)
+    pred = Predictor(cfg, assets, batch_size=4, dtype=jnp.float32,
+                     allow_random_init=True)
+    pred_q = Predictor(cfg_q, assets, batch_size=4, dtype=jnp.float32,
+                       allow_random_init=True)
+
+    rng = np.random.RandomState(0)
+    rgb = rng.rand(480, 640, 3).astype(np.float32) * 255
+    depth = np.full((480, 640), 0.8, np.float32)
+    K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                 np.float32)
+    dets = [Detection(obj_id=1,
+                      bbox_xyxy=np.array([200, 150, 330, 280.0]))]
+    out = pred.predict(rgb, depth, K, dets)
+    out_q = pred_q.predict(rgb, depth, K, dets)     # calibrates here
+    assert not pred_q._needs_calibration
+    out_q2 = pred_q.predict(rgb, depth, K, dets)    # locked scales
+    # same random weights either way (same init seed): int8 error bounded
+    assert np.abs(out_q[0]["t"] - out[0]["t"]).max() < 0.05
+    np.testing.assert_allclose(out_q2[0]["t"], out_q[0]["t"], atol=1e-6)
+    assert np.isfinite(out_q[0]["R"]).all()

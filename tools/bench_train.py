@@ -34,6 +34,10 @@ def main():
     p.add_argument("--optimizer", default="ranger")
     p.add_argument("--profile", default="",
                    help="capture a device trace of 3 steps into this dir")
+    p.add_argument("--decompose", action="store_true",
+                   help="additionally time fwd-only, fwd+bwd (no opt), "
+                        "and optimizer-only — the step-time breakdown "
+                        "behind the MFU ceiling argument")
     p.add_argument("--opts", nargs="*", default=[])
     args = p.parse_args()
 
@@ -112,6 +116,46 @@ def main():
             "mfu_pct": round(100 * flops / dt / peak, 1) if flops else None,
         }
         print(json.dumps(line), flush=True)
+
+        if not args.decompose:
+            continue
+
+        from rdpn6d_tpu.losses import compute_losses
+
+        def time_fn(fn, tag, *fargs):
+            for i in range(args.warmup):
+                r = fn(i, *fargs)
+                float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                r = fn(i + 7, *fargs)
+                float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
+            d = (time.perf_counter() - t0) / args.iters
+            print(json.dumps({"metric": f"decompose/{tag}", "batch": bs,
+                              "ms": round(d * 1000, 1)}), flush=True)
+            return d
+
+        def loss_of(params, b):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                b, train=True, mutable=["batch_stats"])
+            return sum(compute_losses(cfg, out, b).values())
+
+        fwd = jax.jit(loss_of)
+        grad = jax.jit(jax.value_and_grad(loss_of))
+        tx_upd = jax.jit(lambda g, o, p: tx.update(g, o, p))
+
+        def _mk_batch(i):
+            b = dict(batch)
+            b["roi_img"] = imgs[i % len(imgs)] + (i * 1e-6)
+            return b
+
+        time_fn(lambda i: fwd(state.params, _mk_batch(i)), "fwd_only")
+        time_fn(lambda i: grad(state.params, _mk_batch(i))[1], "fwd_bwd")
+        g0 = grad(state.params, _mk_batch(0))[1]
+        time_fn(lambda i: tx_upd(
+            jax.tree_util.tree_map(lambda x: x + i * 1e-9, g0),
+            state.opt_state, state.params)[0], "optimizer_only")
 
 
 if __name__ == "__main__":
