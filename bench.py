@@ -124,6 +124,29 @@ def main() -> None:
         if pps > best:
             best_bs, best, best_fpp = bs, pps, fpp
 
+    # int8-head-static serving mode: calibrated scalar requant scales,
+    # measured 1.16x faster than bf16 e2e with an EXACT accuracy gate
+    # (cube overfit ad_10/re_5/te_2=100, AUCad 97.4 = bf16; PERF.md
+    # round 3). The headline takes whichever mode is faster; MFU keeps
+    # the bf16-equivalent FLOPs/pose denominator.
+    mode = "bf16"
+    try:
+        from rdpn6d_tpu.models.quant import calibrate_quant
+
+        m_q = RDPN(cfg, dtype=jnp.bfloat16, int8="head", int8_static=True)
+        cal_frames = _frame_batches(cfg, best_bs, n=1)[0]
+        pre = preprocess_batch(cfg, cal_frames, jax.random.PRNGKey(1),
+                               train=False)
+        pre["roi_cls"] = jnp.zeros((best_bs,), jnp.int32)
+        quant = calibrate_quant(m_q, variables["params"],
+                                variables.get("batch_stats", {}), [pre])
+        pps_q, _ = _measure(m_q, {**variables, "quant": quant},
+                            best_bs, cfg)
+        if pps_q > best:
+            best, mode = pps_q, "int8-head-static"
+    except Exception:
+        pass  # serving-mode probe must never break the benchmark
+
     # MFU: analytic model FLOPs/pose (XLA cost analysis) / bf16 peak.
     # TPU v5e ("TPU v5 lite") peak: 197 TFLOP/s bf16 (394 is the int8
     # figure). Microbench check: a chained 3x3x256@64^2 conv+bn+relu stack
@@ -134,7 +157,8 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "poses/sec/chip FULL-frame RGB-D->6DoF incl. on-device "
-                  f"preprocessing (ResNet34 256px, best bs={best_bs})",
+                  f"preprocessing (ResNet34 256px, best bs={best_bs}, "
+                  f"{mode})",
         "value": round(best, 2),
         "unit": "poses/sec",
         "vs_baseline": round(best / BASELINE_POSES_PER_SEC, 3),

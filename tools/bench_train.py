@@ -47,7 +47,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from rdpn6d_tpu.config import Config
-    from rdpn6d_tpu.models import RDPN, dummy_batch
+    from rdpn6d_tpu.data.synthetic import dummy_train_batch
+    from rdpn6d_tpu.models import RDPN
     from rdpn6d_tpu.parallel import (create_mesh, create_train_state,
                                      make_sharded_train_step, replicate,
                                      shard_batch)
@@ -63,7 +64,7 @@ def main():
     peak = 197e12  # v5e bf16 (PERF.md: 394 is the int8 figure)
 
     for bs in args.batch_sizes:
-        batch = dummy_batch(cfg, bs)
+        batch = dummy_train_batch(cfg, batch_size=bs)
         # distinct inputs per iteration: the relay caches executions with
         # identical (executable, args)
         rng = np.random.RandomState(0)
@@ -76,35 +77,37 @@ def main():
         step_fn = make_sharded_train_step(cfg, model, tx, mesh)
         batch = shard_batch(batch, mesh)
 
-        def run(i):
+        def run(state, i):
+            # the step donates its input state — thread the new one
             b = dict(batch)
             b["roi_img"] = imgs[i % len(imgs)] + (i * 1e-6)
             return step_fn(state, b)
 
+        # FLOPs from XLA cost analysis of the compiled step (before any
+        # donation invalidates the sample state)
+        try:
+            flops = step_fn.lower(state, batch).compile(
+                ).cost_analysis()["flops"]
+        except Exception:
+            flops = 0.0
+
         # compile + warmup
         for i in range(args.warmup):
-            st, metrics = run(i)
+            state, metrics = run(state, i)
             float(metrics["total_loss"])  # value readback forces execution
 
         if args.profile:
             with jax.profiler.trace(args.profile):
                 for i in range(3):
-                    st, metrics = run(i)
+                    state, metrics = run(state, i)
                     float(metrics["total_loss"])
             print(f"trace written to {args.profile}")
 
         t0 = time.perf_counter()
         for i in range(args.iters):
-            st, metrics = run(i + 7)
+            state, metrics = run(state, i + 7)
             float(metrics["total_loss"])  # per-iter readback (relay-safe)
         dt = (time.perf_counter() - t0) / args.iters
-
-        # FLOPs from XLA cost analysis of the compiled step
-        try:
-            lowered = jax.jit(step_fn).lower(state, batch)
-            flops = lowered.compile().cost_analysis()["flops"]
-        except Exception:
-            flops = 0.0
         line = {
             "metric": "train poses/sec/chip (fwd+bwd+%s%s)"
                       % (args.optimizer, "+remat" if args.remat else ""),
@@ -143,7 +146,10 @@ def main():
 
         fwd = jax.jit(loss_of)
         grad = jax.jit(jax.value_and_grad(loss_of))
-        tx_upd = jax.jit(lambda g, o, p: tx.update(g, o, p))
+        # fold the per-iteration perturbation INSIDE the jit (a host-side
+        # tree_map would pay one relay dispatch per parameter leaf)
+        tx_upd = jax.jit(lambda g, o, p, i: tx.update(
+            jax.tree_util.tree_map(lambda x: x + i * 1e-9, g), o, p))
 
         def _mk_batch(i):
             b = dict(batch)
@@ -153,9 +159,8 @@ def main():
         time_fn(lambda i: fwd(state.params, _mk_batch(i)), "fwd_only")
         time_fn(lambda i: grad(state.params, _mk_batch(i))[1], "fwd_bwd")
         g0 = grad(state.params, _mk_batch(0))[1]
-        time_fn(lambda i: tx_upd(
-            jax.tree_util.tree_map(lambda x: x + i * 1e-9, g0),
-            state.opt_state, state.params)[0], "optimizer_only")
+        time_fn(lambda i: tx_upd(g0, state.opt_state, state.params,
+                                 jnp.float32(i))[0], "optimizer_only")
 
 
 if __name__ == "__main__":
