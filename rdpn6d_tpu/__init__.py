@@ -33,3 +33,14 @@ if _os.environ.get("RDPN6D_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["RDPN6D_PLATFORM"])
+
+# Persistent XLA compilation cache for every entry point (CLI, tools,
+# tests): flagship-step compiles cost minutes through a device relay and
+# 20-40 s even directly attached; the cache makes re-runs start in
+# seconds. Opt out / redirect with RDPN6D_CACHE_DIR="" / =path.
+_cache_dir = _os.environ.get("RDPN6D_CACHE_DIR", "/tmp/jax_cache")
+if _cache_dir:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -152,7 +152,12 @@ class DataConfig:
     train2_ratio: float = 0.0
     test_datasets: tuple[str, ...] = ()
     det_files_test: tuple[str, ...] = ()
-    det_topk_per_obj: int = 1
+    # top-k score-sorted detections kept per (image, object class);
+    # candidates are assigned to distinct GT instances by IoU, so a
+    # high cap only matters on duplicate-instance images (icbin/tless).
+    # The reference sets DET_TOPK_PER_OBJ=100 in essentially every
+    # shipped config (all *SO/ + flagship; dataset_utils.py:178-181)
+    det_topk_per_obj: int = 100
 
 
 @dataclass(frozen=True)

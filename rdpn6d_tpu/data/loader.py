@@ -125,6 +125,26 @@ class RecordDecoder:
         bg = cv2.cvtColor(bg, cv2.COLOR_BGR2RGB)
         return cv2.resize(bg, (W, H))
 
+    @staticmethod
+    def _depth_fallback_xyz(depth: np.ndarray, rec: dict[str, Any],
+                            mask_visib: np.ndarray | None) -> np.ndarray:
+        """Model-frame coords of the VISIBLE surface from measured depth:
+        xyz = R^T (backproject(depth) - t), zeroed outside
+        (depth valid) & mask. The single definition both the flat and the
+        grouped decode paths regress against when no xyz crop is on disk.
+        """
+        H, W = depth.shape
+        K, R, t = rec["K"], rec["R"], rec["t"]
+        u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32))
+        pc = np.stack([(u - K[0, 2]) * depth / K[0, 0],
+                       (v - K[1, 2]) * depth / K[1, 1], depth], -1)
+        xyz = (pc - t) @ R  # = R^T (p - t)
+        m = depth > 1e-6
+        if mask_visib is not None:
+            m = m & (mask_visib > 0)
+        return xyz * m[..., None]
+
     def _mask_visib(self, rec: dict[str, Any]) -> np.ndarray | None:
         """Visible-object mask from mask file or YCB-style label image."""
         mask_visib = _imread_mask(rec.get("mask_visib_path", "")) \
@@ -217,24 +237,20 @@ class RecordDecoder:
                 xyz16 = load_xyz_crop(rec["xyz_path"], H, W).astype(
                     np.float16)
             else:
-                # depth-derived fallback (visible surface), as __call__
                 depth = frame["depth_raw"].astype(np.float32) \
                     / float(frame["depth_factor"])
-                K, R, t = rec["K"], rec["R"], rec["t"]
-                u, v = np.meshgrid(np.arange(W, dtype=np.float32),
-                                   np.arange(H, dtype=np.float32))
-                pc = np.stack([(u - K[0, 2]) * depth / K[0, 0],
-                               (v - K[1, 2]) * depth / K[1, 1], depth], -1)
-                xyz = (pc - t) @ R
-                m = depth > 1e-6
-                if mask_visib is not None:
-                    m = m & (mask_visib > 0)
-                xyz16 = (xyz * m[..., None]).astype(np.float16)
+                xyz16 = self._depth_fallback_xyz(
+                    depth, rec, mask_visib).astype(np.float16)
             if mask_visib is None:
                 mask_visib = (np.abs(xyz16.astype(np.float32)).sum(-1)
                               > 0).astype(np.float32)
         if mask_visib is None:
-            raise SkipRecord(f"no visibility mask: {rec['rgb_path']}")
+            # maskless dataset with ship_xyz=False: same semantics as the
+            # flat path's depth fallback (visible surface = valid-depth
+            # pixels, cropped to the ROI downstream). A SkipRecord here
+            # would starve train_group_iterator into a silent infinite
+            # spin — the flat path trains fine on the same data.
+            mask_visib = (frame["depth_raw"] > 0).astype(np.float32)
 
         bbox = self._bbox_xyxy(rec, mask_visib)
 
@@ -281,18 +297,7 @@ class RecordDecoder:
         if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
             xyz = load_xyz_crop(rec["xyz_path"], H, W)
         else:
-            # depth-derived fallback: model-frame coords of VISIBLE surface
-            # xyz = R^T (p_cam - t) on the measured depth, masked
-            u, v = np.meshgrid(np.arange(W, dtype=np.float32),
-                               np.arange(H, dtype=np.float32))
-            z = depth
-            pc = np.stack([(u - K[0, 2]) * z / K[0, 0],
-                           (v - K[1, 2]) * z / K[1, 1], z], -1)
-            xyz = (pc - t) @ R  # = R^T (p - t)
-            m = (z > 1e-6)
-            if mask_visib is not None:
-                m = m & (mask_visib > 0)
-            xyz *= m[..., None]
+            xyz = self._depth_fallback_xyz(depth, rec, mask_visib)
 
         if mask_visib is None:
             mask_visib = (np.abs(xyz).sum(-1) > 0).astype(np.float32)

@@ -96,11 +96,17 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                                cfg.loss.num_pm_points,
                                objs=[ref.id2obj[oid] for oid in present])
 
+    want_int8 = cfg.test.int8 or False
+    want_static = bool(cfg.test.int8 and cfg.test.int8_static)
+    if model is not None and (model.int8, model.int8_static) != \
+            (want_int8, want_static):
+        # periodic-eval path: the trainer's bf16 model cannot record the
+        # quant collection calibrate_quant needs — rebuild the serving
+        # model (identical param tree, so the live state serves directly)
+        model = None
     if model is None:
-        model = RDPN(cfg, dtype=jnp.bfloat16,
-                     int8=cfg.test.int8 or False,
-                     int8_static=bool(cfg.test.int8
-                                      and cfg.test.int8_static))
+        model = RDPN(cfg, dtype=jnp.bfloat16, int8=want_int8,
+                     int8_static=want_static)
     if state is None:
         variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
                                train=False)

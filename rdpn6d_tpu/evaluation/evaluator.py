@@ -46,9 +46,14 @@ class PoseEvaluator:
     n_gts: dict[str, int] | None = None
     precision: bool = False
     _chunks: list[dict[str, np.ndarray]] = field(default_factory=list)
+    # memoized compute_errors result (device ADD/ADI over every
+    # prediction is the expensive part; evaluate() and the recall-curve
+    # dump both need it) — invalidated whenever _chunks changes
+    _err_cache: tuple[int, dict] | None = None
 
     def reset(self) -> None:
         self._chunks = []
+        self._err_cache = None
 
     def process(self, obj_name: str, R_est, t_est, R_gt, t_gt, K,
                 scene_id: int = 0, im_id: int = 0, score: float = 1.0,
@@ -101,6 +106,9 @@ class PoseEvaluator:
     # ------------------------------------------------------------------
     def compute_errors(self) -> dict[str, dict[str, np.ndarray]]:
         """Batched on-device error computation per object."""
+        if self._err_cache is not None \
+                and self._err_cache[0] == len(self._chunks):
+            return self._err_cache[1]
         allp = self._consolidated()
         if allp is None and not self.n_gts:
             return {}
@@ -160,6 +168,7 @@ class PoseEvaluator:
                         for k, v in err.items()}
             if err["ad"].size > 0:
                 out[obj] = err
+        self._err_cache = (len(self._chunks), out)
         return out
 
     def evaluate(self) -> dict[str, Any]:

@@ -154,5 +154,10 @@ def calibrate_quant(model, params, batch_stats, batches) -> dict:
             variables["quant"] = quant
         _, mut = model.apply(variables, batch, train=False,
                              mutable=["quant"])
+        if "quant" not in mut:
+            raise ValueError(
+                "calibrate_quant needs a model built with int8 enabled "
+                "and int8_static=True — no conv recorded an activation "
+                "scale (got a full-precision model?)")
         quant = mut["quant"]
     return quant

@@ -50,9 +50,26 @@ def shard_batch(batch: dict[str, Any], mesh: Mesh,
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sh), batch)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(
-            sh, np.asarray(x)), batch)
+
+    # this process's mesh devices, in global flat order (the row-block
+    # order P(axis) assigns) — preprocessed device arrays are resharded
+    # device-to-device; np.asarray here would round-trip the whole batch
+    # through host memory every step
+    me = jax.process_index()
+    local_flat = [d for d in mesh.devices.flat if d.process_index == me]
+
+    def _to_global(x):
+        if isinstance(x, jax.Array) and mesh.devices.ndim == 1 \
+                and x.ndim >= 1 and x.shape[0] % len(local_flat) == 0:
+            per = x.shape[0] // len(local_flat)
+            arrs = [jax.device_put(x[i * per:(i + 1) * per], d)
+                    for i, d in enumerate(local_flat)]
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_single_device_arrays(
+                gshape, sh, arrs)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(_to_global, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -26,12 +26,9 @@ def _tetra_mesh():
     'ape' object; its orientation is fully identifiable from geometry,
     unlike the cube's 24-fold-ambiguous faces."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from make_mini_bop import _subdivide
+    from make_mini_bop import build_meshes
 
-    v = np.array([[0, 0, 55], [50, -30, -35], [-45, -35, -30],
-                  [5, 60, -30]], np.float64)
-    f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
-    v, f = _subdivide(v, f, 3)
+    v, f = build_meshes()[1]  # obj 1 = ape
     return (v / 1000.0).astype(np.float32), f
 
 

@@ -135,12 +135,13 @@ def main():
         json.dump(summary, f, indent=2)
 
     if args.gate:
+        ars = {k: v for k, v in summary["est_bop19"].items()
+               if k.upper().startswith("AR")}
         ok = (summary["gt_ad_10"] >= 95.0
               and summary["est_ad_10"] >= 70.0
               and summary["rescore_ran"]
-              and all(0.5 <= v <= 1.0
-                      for k, v in summary["est_bop19"].items()
-                      if k.startswith("ar_")))
+              and bool(ars)  # the AR bar must actually gate something
+              and all(0.5 <= v <= 1.0 for v in ars.values()))
         if not ok:
             raise SystemExit(f"GATE FAILED: {summary}")
         print("GATE PASSED")
