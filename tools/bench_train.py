@@ -156,6 +156,27 @@ def main():
             b["roi_img"] = imgs[i % len(imgs)] + (i * 1e-6)
             return b
 
+        # split the train-mode forward: model body alone (BN batch-stats
+        # + dropout, no losses) vs model in eval mode vs full fwd+loss —
+        # attributes the train-vs-eval forward MFU gap to BN/dropout vs
+        # the dense-loss tail
+        def model_only(params, b, train):
+            if train:
+                out, _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    b, train=True, mutable=["batch_stats"])
+            else:
+                out = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    b, train=False)
+            return out["rot_ego"]
+
+        m_train = jax.jit(lambda p, b: model_only(p, b, True))
+        m_eval = jax.jit(lambda p, b: model_only(p, b, False))
+        time_fn(lambda i: m_eval(state.params, _mk_batch(i)),
+                "model_fwd_eval")
+        time_fn(lambda i: m_train(state.params, _mk_batch(i)),
+                "model_fwd_train")
         time_fn(lambda i: fwd(state.params, _mk_batch(i)), "fwd_only")
         time_fn(lambda i: grad(state.params, _mk_batch(i))[1], "fwd_bwd")
         g0 = grad(state.params, _mk_batch(0))[1]
