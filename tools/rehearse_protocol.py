@@ -61,6 +61,10 @@ def main():
     p.add_argument("--skip-train", action="store_true",
                    help="reuse an existing checkpoint in --run")
     p.add_argument("--gate", action="store_true")
+    p.add_argument("--eval-train", action="store_true",
+                   help="also GT-bbox-eval the TRAIN split: separates "
+                        "'eval path broken' (train ALSO scores 0) from "
+                        "'model undertrained' (train >> test)")
     p.add_argument("--opts", nargs="*", default=[],
                    help="extra config opts forwarded to train/eval")
     args = p.parse_args()
@@ -114,6 +118,19 @@ def main():
                        "--split", "lm_mini_test", "--bop19"], env,
                       log=os.path.join(args.run, "rescore_log.txt"))
 
+    train_mean = None
+    if args.eval_train:
+        tr_json = os.path.join(args.run, "metrics_train_split.json")
+        run([py, "tools/eval_split.py", "--config-file", "configs/mini.py",
+             "--ckpt-dir", os.path.join(args.run, "ckpt"),
+             "--split", "lm_mini_train", "--json", tr_json,
+             "--csv", os.path.join(args.run, "train_bbox.csv"),
+             "--opts", *opts,
+             'test.error_types="ad,adi,re,te,proj"'], env,
+            log=os.path.join(args.run, "eval_train_log.txt"))
+        with open(tr_json) as f:
+            train_mean = json.load(f)["mean"]
+
     with open(gt_json) as f:
         gt = json.load(f)
     with open(est_json) as f:
@@ -129,6 +146,10 @@ def main():
         "est_bop19": est.get("bop19", {}),
         "rescore_ran": "BOP19:" in rescore_out,
     }
+    if train_mean is not None:
+        summary["train_split"] = {k: train_mean.get(k, 0.0)
+                                  for k in ("ad_10", "adi_10", "re_10",
+                                            "te_2")}
     print("REHEARSAL_SUMMARY " + json.dumps(summary), flush=True)
     with open(os.path.join(args.run, "rehearsal_summary.json"),
               "w") as f:
