@@ -55,8 +55,13 @@ class ConsoleWriter:
         done = max(step - self._start_iter, 1)
         rate = (time.time() - self._start) / done
         eta = rate * (self.max_iter - step)
+        # print the LATEST sample, not the median: the buffer is fed only
+        # at log events, so a median over its window would span
+        # window*log_period iterations and lag badly (the reference's
+        # EventStorage medians over per-ITERATION samples, which we don't
+        # collect to avoid a per-step host sync)
         losses = "  ".join(
-            f"{k}: {buf.median(k):.4f}" for k in sorted(buf.keys())
+            f"{k}: {buf.latest(k):.4f}" for k in sorted(buf.keys())
             if k.startswith("loss") or k == "total_loss")
         logger.info(
             f"iter {step}/{self.max_iter}  eta {eta / 60:.1f}m  "
