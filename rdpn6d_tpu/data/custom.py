@@ -1,0 +1,187 @@
+"""Runtime registration of user-supplied BOP-layout datasets.
+
+Counterpart of the reference's custom industrial-dataset loader
+(core/gdrn_modeling/datasets/delta_train.py:28-110 registers a bespoke
+``Delta_train_Dataset`` class plus a hand-written ``ref/delta_full``
+constants module for every new dataset): here ONE call introspects a
+BOP-layout tree — ``models/models_info.json`` for object ids/diameters,
+the first ``scene_camera.json`` for intrinsics, the first RGB frame for
+the image size — and registers a :class:`DatasetRef` plus train/test
+:class:`Split` entries that the existing parametric builders
+(``data/bop.py``) consume directly.  No per-dataset loader code.
+
+Because experiment configs are plain python modules (``config.py:
+load_config``), a custom dataset is wired in by calling
+``register_custom_dataset`` at the top of the config file; every CLI
+entry (train/eval/tools) loads the config first and therefore sees the
+registration.  The asset tools that take a dataset name instead of a
+config accept ``--custom-root NAME=PATH`` and call this function.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from .refs import REFS, DatasetRef, get_ref
+
+__all__ = ["register_custom_dataset"]
+
+
+def _png_size(path: str) -> tuple[int, int]:
+    """(width, height) from a PNG/JPEG header without decoding pixels."""
+    with open(path, "rb") as f:
+        head = f.read(26)
+        if head[:8] == b"\x89PNG\r\n\x1a\n":      # IHDR is always first
+            w, h = struct.unpack(">II", head[16:24])
+            return int(w), int(h)
+        if head[:2] == b"\xff\xd8":               # JPEG: scan for SOFn
+            f.seek(2)
+            while True:
+                marker = f.read(2)
+                if len(marker) < 2 or marker[0] != 0xFF:
+                    break
+                if 0xC0 <= marker[1] <= 0xCF and marker[1] not in (
+                        0xC4, 0xC8, 0xCC):
+                    f.read(3)
+                    h, w = struct.unpack(">HH", f.read(4))
+                    return int(w), int(h)
+                (seg_len,) = struct.unpack(">H", f.read(2))
+                f.seek(seg_len - 2, os.SEEK_CUR)
+    raise ValueError(f"cannot read image size from {path}")
+
+
+def _first_scene(root: str, subdirs: tuple[str, ...]) -> str | None:
+    for sub in subdirs:
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for scene in sorted(os.listdir(base)):
+            sdir = os.path.join(base, scene)
+            if os.path.isfile(os.path.join(sdir, "scene_camera.json")):
+                return sdir
+    return None
+
+
+def register_custom_dataset(
+    name: str,
+    *,
+    root: str = "",
+    id2obj: dict[int, str] | None = None,
+    camera_matrix=None,
+    width: int = 0,
+    height: int = 0,
+    depth_factor: float = 1000.0,
+    vertex_scale: float = 0.001,
+    train_subdir: str = "train",
+    test_subdir: str = "test",
+    targets_file: str = "",
+    visib_thr: float = 0.0,
+    overwrite: bool = False,
+) -> DatasetRef:
+    """Register dataset ``name`` (BOP directory layout) and its splits.
+
+    Everything not passed explicitly is discovered from the tree:
+    object ids and diameters from ``models/models_info.json``, the
+    camera matrix from the first ``scene_camera.json``, the image size
+    from the first RGB frame.  Splits ``{name}_train`` / ``{name}_test``
+    are registered for whichever of ``train_subdir`` / ``test_subdir``
+    exist on disk (the test split with ``filter_invalid=False``,
+    matching the BOP test protocol of the built-in datasets).
+    """
+    from . import bop  # deferred: bop imports refs
+
+    if name in REFS and not overwrite:
+        raise ValueError(
+            f"dataset ref '{name}' already registered; pass overwrite=True")
+
+    # resolve the root exactly like DatasetRef.root would, so discovery
+    # and record building read the same tree
+    probe = DatasetRef(name=name, id2obj={}, diameters_mm=(),
+                       camera_matrix=((0.0,) * 3,) * 3,
+                       root_override=root)
+    root_dir = probe.root
+    if not os.path.isdir(root_dir):
+        raise FileNotFoundError(f"custom dataset root not found: {root_dir}")
+
+    # ---- objects + diameters from models_info.json --------------------
+    info_path = os.path.join(root_dir, "models", "models_info.json")
+    diameters: tuple[float, ...] = ()
+    reliable = False
+    if id2obj is None or not id2obj:
+        if not os.path.isfile(info_path):
+            raise FileNotFoundError(
+                f"{info_path} missing and no id2obj given — one of the two "
+                f"is required to enumerate objects")
+        with open(info_path) as f:
+            info = json.load(f)
+        id2obj = {int(k): f"obj_{int(k)}" for k in sorted(info, key=int)}
+    if os.path.isfile(info_path):
+        with open(info_path) as f:
+            info = json.load(f)
+        try:
+            diameters = tuple(float(info[str(i)]["diameter"])
+                              for i in sorted(id2obj))
+            reliable = True
+        except KeyError:
+            pass
+    if not diameters:
+        diameters = (0.0,) * len(id2obj)
+
+    # ---- camera + image size from the first scene ---------------------
+    scene = _first_scene(root_dir, (train_subdir, test_subdir))
+    if camera_matrix is None:
+        if scene is None:
+            raise FileNotFoundError(
+                f"no scene_camera.json under {root_dir}/{{{train_subdir},"
+                f"{test_subdir}}} and no camera_matrix given")
+        with open(os.path.join(scene, "scene_camera.json")) as f:
+            cams = json.load(f)
+        K = next(iter(cams.values()))["cam_K"]
+        camera_matrix = tuple(tuple(float(v) for v in K[r * 3:r * 3 + 3])
+                              for r in range(3))
+    if not (width and height) and scene is not None:
+        rgb_dir = os.path.join(scene, "rgb")
+        if os.path.isdir(rgb_dir):
+            frames = sorted(os.listdir(rgb_dir))
+            if frames:
+                width, height = _png_size(os.path.join(rgb_dir, frames[0]))
+    if not (width and height):
+        width, height = 640, 480
+
+    ref = DatasetRef(
+        name=name,
+        id2obj=dict(id2obj),
+        diameters_mm=diameters,
+        camera_matrix=tuple(tuple(row) for row in camera_matrix),
+        width=int(width),
+        height=int(height),
+        depth_factor=depth_factor,
+        vertex_scale=vertex_scale,
+        diameters_reliable=reliable,
+        root_override=root,
+    )
+    REFS[name] = ref
+    get_ref.cache_clear()  # overwrite=True must not serve a stale ref
+
+    for split_suffix, subdir, is_train in (
+            ("train", train_subdir, True), ("test", test_subdir, False)):
+        base = os.path.join(root_dir, subdir)
+        if not os.path.isdir(base):
+            continue
+        # scene ids discovered from the numeric scene dirs on disk (the
+        # built-in splits pin them; a custom tree just has what it has)
+        scene_ids = tuple(sorted(
+            int(d) for d in os.listdir(base)
+            if d.isdigit() and os.path.isfile(
+                os.path.join(base, d, "scene_gt.json"))))
+        if not scene_ids:
+            continue
+        bop.register_split(bop.Split(
+            f"{name}_{split_suffix}", name, subdir,
+            scene_ids=scene_ids,
+            filter_invalid=is_train,
+            visib_thr=visib_thr if is_train else 0.0,
+            targets_file="" if is_train else targets_file))
+    return ref

@@ -50,6 +50,8 @@ class DatasetRef:
     diameters_reliable: bool = True          # False -> require models_info
     extra_cameras: dict[str, tuple[tuple[float, ...], ...]] = field(
         default_factory=dict)
+    root_override: str = ""                  # custom datasets living outside
+                                             # DATA_ROOT (data/custom.py)
 
     # ------------------------------------------------------------------
     @property
@@ -66,7 +68,7 @@ class DatasetRef:
 
     @property
     def root(self) -> str:
-        return os.path.join(DATA_ROOT, self.name)
+        return self.root_override or os.path.join(DATA_ROOT, self.name)
 
     @property
     def model_dir(self) -> str:

@@ -33,8 +33,14 @@ def main():
     p.add_argument("--objs", nargs="*", default=[],
                    help="object names to process (default: all with a "
                         "model on disk; partial trees/subsets welcome)")
+    p.add_argument("--custom-root", default="",
+                   help="register --dataset as a custom BOP-layout tree "
+                        "rooted here before resolving it (data/custom.py)")
     args = p.parse_args()
 
+    if args.custom_root:
+        from rdpn6d_tpu.data.custom import register_custom_dataset
+        register_custom_dataset(args.dataset, root=args.custom_root)
     ref = get_ref(args.dataset)
     out_path = args.out or os.path.join(ref.model_dir, "fps_points.pkl")
     obj_ids = [ref.obj2id[o] for o in args.objs] if args.objs \

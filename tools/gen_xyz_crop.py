@@ -31,8 +31,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--split", required=True)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--custom-root", default="",
+                   help="NAME=PATH: register a custom BOP-layout dataset "
+                        "(and its {NAME}_train/{NAME}_test splits) before "
+                        "resolving --split (data/custom.py)")
     args = p.parse_args()
 
+    if args.custom_root:
+        from rdpn6d_tpu.data.custom import register_custom_dataset
+        cname, _, croot = args.custom_root.partition("=")
+        register_custom_dataset(cname, root=croot)
     split = get_split(args.split)
     ref = get_ref(split.ref_name)
     records = build_split_records(split, flatten=True)
