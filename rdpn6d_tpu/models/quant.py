@@ -125,11 +125,11 @@ def conv_factory(int8: bool, dtype, static_act: bool = False):
     counter = [0]
 
     def make(features, kernel_size, strides=(1, 1), padding="SAME",
-             use_bias=False, dtype=dtype, name=None):
+             use_bias=False, dtype=dtype, name=None, force_fp=False):
         if name is None:
             name = f"Conv_{counter[0]}"
         counter[0] += 1
-        if int8:
+        if int8 and not force_fp:
             return Int8Conv(features, kernel_size, strides=strides,
                             padding=padding, use_bias=use_bias, dtype=dtype,
                             static_act=static_act, name=name)

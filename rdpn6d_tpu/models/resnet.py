@@ -98,7 +98,14 @@ class ResNetTrunk(nn.Module):
         block: Callable = BasicBlock if block_kind == "basic" else Bottleneck
         conv = conv_factory(self.int8, self.dtype, self.int8_static)
 
-        x = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False)(x)
+        # the stem stays full precision under int8: its input mixes 8-bit
+        # RGB with metric depth-XYZ coordinates whose dynamic ranges differ
+        # by orders of magnitude, so ONE per-tensor activation scale
+        # destroys the depth signal — and at 7x7x6->64 the stem is a
+        # negligible FLOPs fraction (keep-first-layer-fp, standard W8A8
+        # practice)
+        x = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                 force_fp=True)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu(x)

@@ -156,3 +156,21 @@ def test_full_model_int8_static_close_to_bf16():
     # every calibrated scale is positive after one batch
     for leaf in jax.tree_util.tree_leaves(quant):
         assert float(leaf) > 0.0
+
+
+def test_int8_stem_stays_full_precision():
+    """int8='all' keeps the trunk stem in bf16 (its 6-ch input mixes RGB
+    with metric depth-XYZ ranges): param tree unchanged, and calibration
+    records NO quant scale for the stem conv."""
+    from rdpn6d_tpu.models.quant import calibrate_quant
+
+    cfg = Config().apply_opts(TINY)
+    batch = dummy_batch(cfg, 2)
+    m8 = RDPN(cfg, dtype=jnp.bfloat16, int8="all", int8_static=True)
+    v = m8.init(jax.random.PRNGKey(0), batch, train=False)
+    quant = calibrate_quant(
+        m8, v["params"], v.get("batch_stats", {}), [batch])
+    bb = quant["backbone"]
+    assert "Conv_0" not in bb, sorted(bb)          # stem: not calibrated
+    assert any(k.startswith("BasicBlock") or k.startswith("Bottleneck")
+               for k in bb), sorted(bb)            # blocks: calibrated
