@@ -21,10 +21,11 @@ config accept ``--custom-root NAME=PATH`` and call this function.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import struct
 
-from .refs import REFS, DatasetRef, get_ref
+from .refs import REFS, DatasetRef, _load_models_info, get_ref
 
 __all__ = ["register_custom_dataset"]
 
@@ -107,19 +108,17 @@ def register_custom_dataset(
 
     # ---- objects + diameters from models_info.json --------------------
     info_path = os.path.join(root_dir, "models", "models_info.json")
+    info = _load_models_info(info_path) if os.path.isfile(info_path) \
+        else None
     diameters: tuple[float, ...] = ()
     reliable = False
     if id2obj is None or not id2obj:
-        if not os.path.isfile(info_path):
+        if info is None:
             raise FileNotFoundError(
                 f"{info_path} missing and no id2obj given — one of the two "
                 f"is required to enumerate objects")
-        with open(info_path) as f:
-            info = json.load(f)
         id2obj = {int(k): f"obj_{int(k)}" for k in sorted(info, key=int)}
-    if os.path.isfile(info_path):
-        with open(info_path) as f:
-            info = json.load(f)
+    if info is not None:
         try:
             diameters = tuple(float(info[str(i)]["diameter"])
                               for i in sorted(id2obj))
@@ -146,9 +145,17 @@ def register_custom_dataset(
         if os.path.isdir(rgb_dir):
             frames = sorted(os.listdir(rgb_dir))
             if frames:
-                width, height = _png_size(os.path.join(rgb_dir, frames[0]))
+                w_disc, h_disc = _png_size(
+                    os.path.join(rgb_dir, frames[0]))
+                # a half-specified explicit pair keeps its given value
+                width, height = width or w_disc, height or h_disc
     if not (width and height):
-        width, height = 640, 480
+        # never guess: a wrong frame size silently corrupts the generated
+        # xyz crops (renders at the wrong resolution against the true K)
+        # and every ROI coordinate downstream
+        raise ValueError(
+            f"{name}: image size not discoverable (no rgb/ frames under "
+            f"the first scene) — pass width=/height= explicitly")
 
     ref = DatasetRef(
         name=name,
@@ -177,6 +184,12 @@ def register_custom_dataset(
             if d.isdigit() and os.path.isfile(
                 os.path.join(base, d, "scene_gt.json"))))
         if not scene_ids:
+            logging.getLogger("rdpn6d").warning(
+                f"{name}: {base} exists but no scene dir has a "
+                f"scene_gt.json — split {name}_{split_suffix} NOT "
+                f"registered (GT-less trees are not loadable; BOP "
+                f"challenge-style withheld-GT test sets need at least "
+                f"scene_gt with object ids)")
             continue
         bop.register_split(bop.Split(
             f"{name}_{split_suffix}", name, subdir,

@@ -19,7 +19,9 @@ logger = logging.getLogger("rdpn6d")
 
 
 class MetricBuffer:
-    """Rolling median/latest store (EventStorage's smoothing role)."""
+    """Rolling latest-sample store (EventStorage's storage role; medians
+    are deliberately NOT offered — samples arrive only at log events, so
+    a window median would lag by window*log_period iterations)."""
 
     def __init__(self, window: int = 20):
         self._hist: dict[str, deque] = defaultdict(
@@ -28,10 +30,6 @@ class MetricBuffer:
     def update(self, metrics: dict[str, float]) -> None:
         for k, v in metrics.items():
             self._hist[k].append(float(v))
-
-    def median(self, key: str) -> float:
-        h = sorted(self._hist[key])
-        return h[len(h) // 2] if h else 0.0
 
     def latest(self, key: str) -> float:
         return self._hist[key][-1] if self._hist[key] else 0.0
@@ -120,6 +118,11 @@ class TensorboardWriter:
                     arr = arr[..., None]
                 lo, hi = arr.min(), arr.max()
                 if hi > 1.0 or lo < 0.0:
-                    arr = (arr - lo) / max(hi - lo, 1e-6)
+                    if hi > lo:
+                        arr = (arr - lo) / (hi - lo)
+                    else:
+                        # constant out-of-range image (e.g. an all-255
+                        # uint8 mask): show saturated, not black
+                        arr = np.ones_like(arr)
                 self._tf.summary.image(k, arr[None], step=step)
             self._writer.flush()

@@ -127,8 +127,11 @@ def conv_factory(int8: bool, dtype, static_act: bool = False):
     def make(features, kernel_size, strides=(1, 1), padding="SAME",
              use_bias=False, dtype=dtype, name=None, force_fp=False):
         if name is None:
+            # only unnamed convs consume the auto-name cursor, matching
+            # flax's own autonaming (an explicitly named module does not
+            # shift later Conv_i indices)
             name = f"Conv_{counter[0]}"
-        counter[0] += 1
+            counter[0] += 1
         if int8 and not force_fp:
             return Int8Conv(features, kernel_size, strides=strides,
                             padding=padding, use_bias=use_bias, dtype=dtype,
@@ -160,4 +163,16 @@ def calibrate_quant(model, params, batch_stats, batches) -> dict:
                 "and int8_static=True — no conv recorded an activation "
                 "scale (got a full-precision model?)")
         quant = mut["quant"]
+    # a conv whose calibration input never left zero would serve with an
+    # ~1e-14 scale, clipping every later nonzero activation to +-127 and
+    # silently zeroing its output — fail loudly instead
+    zeros = [jax.tree_util.keystr(path)
+             for path, leaf in jax.tree_util.tree_leaves_with_path(quant)
+             if float(leaf) == 0.0]
+    if zeros:
+        raise ValueError(
+            "calibration recorded a ZERO activation absmax for "
+            f"{zeros} — the calibration batches never exercised these "
+            "convs (all-zero inputs); calibrate on more representative "
+            "batches")
     return quant

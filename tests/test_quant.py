@@ -166,6 +166,12 @@ def test_int8_stem_stays_full_precision():
 
     cfg = Config().apply_opts(TINY)
     batch = dummy_batch(cfg, 2)
+    # realistic activations (dummy_batch images are zeros, which the
+    # zero-amax calibration guard rightly rejects)
+    batch["roi_img"] = jax.random.normal(
+        jax.random.PRNGKey(3), batch["roi_img"].shape, jnp.float32)
+    batch["roi_coord_2d"] = jax.random.normal(
+        jax.random.PRNGKey(4), batch["roi_coord_2d"].shape, jnp.float32)
     m8 = RDPN(cfg, dtype=jnp.bfloat16, int8="all", int8_static=True)
     v = m8.init(jax.random.PRNGKey(0), batch, train=False)
     quant = calibrate_quant(

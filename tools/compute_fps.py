@@ -34,13 +34,23 @@ def main():
                    help="object names to process (default: all with a "
                         "model on disk; partial trees/subsets welcome)")
     p.add_argument("--custom-root", default="",
-                   help="register --dataset as a custom BOP-layout tree "
-                        "rooted here before resolving it (data/custom.py)")
+                   help="PATH or NAME=PATH: register --dataset as a custom "
+                        "BOP-layout tree rooted there before resolving it "
+                        "(data/custom.py); a NAME must match --dataset")
     args = p.parse_args()
 
     if args.custom_root:
         from rdpn6d_tpu.data.custom import register_custom_dataset
-        register_custom_dataset(args.dataset, root=args.custom_root)
+        croot = args.custom_root
+        if "=" in croot:
+            cname, _, croot = croot.partition("=")
+            if cname != args.dataset:
+                raise SystemExit(
+                    f"--custom-root name '{cname}' does not match "
+                    f"--dataset '{args.dataset}'")
+        if not croot:
+            raise SystemExit("--custom-root: empty path")
+        register_custom_dataset(args.dataset, root=croot)
     ref = get_ref(args.dataset)
     out_path = args.out or os.path.join(ref.model_dir, "fps_points.pkl")
     obj_ids = [ref.obj2id[o] for o in args.objs] if args.objs \
@@ -48,7 +58,13 @@ def main():
               if os.path.exists(ref.model_path(oid))]
     if not obj_ids:
         raise SystemExit(f"no models found under {ref.model_dir}")
+    # merge into an existing pickle: a --objs subset or partial-tree run
+    # must not clobber keypoints computed earlier for other objects
     result = {}
+    if os.path.exists(out_path):
+        with open(out_path, "rb") as f:
+            result = pickle.load(f)
+        print(f"merging into existing {out_path} ({sorted(result)})")
     for oid in obj_ids:
         ply = load_ply(ref.model_path(oid), vertex_scale=ref.vertex_scale)
         pts = ply["pts"].astype("float32")

@@ -39,7 +39,10 @@ def main():
 
     if args.custom_root:
         from rdpn6d_tpu.data.custom import register_custom_dataset
-        cname, _, croot = args.custom_root.partition("=")
+        cname, sep, croot = args.custom_root.partition("=")
+        if not (sep and cname and croot):
+            raise SystemExit(
+                f"--custom-root expects NAME=PATH, got {args.custom_root!r}")
         register_custom_dataset(cname, root=croot)
     split = get_split(args.split)
     ref = get_ref(split.ref_name)
