@@ -18,7 +18,31 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+
+# fail FAST if the device backend is unreachable (a wedged TPU tunnel makes
+# jax.devices() hang indefinitely): probe it in a bounded subprocess before
+# importing anything heavy, so a dead relay yields a clear error instead of
+# an hours-long hang (and never a fake benchmark line)
+if os.environ.get("RDPN6D_BENCH_PROBED") != "1":
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env={**os.environ, "RDPN6D_BENCH_PROBED": "1"},
+            timeout=180, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            "bench.py: device backend unreachable (jax.devices() did not "
+            "return within 180s — TPU relay down?); refusing to hang\n")
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        sys.stderr.write(
+            "bench.py: device backend failed to initialize:\n"
+            + e.stderr.decode(errors="replace")[-2000:] + "\n")
+        sys.exit(2)
 
 import jax
 
