@@ -58,6 +58,10 @@ def main():
     p.add_argument("--platform", default="",
                    help="force JAX_PLATFORMS for all steps (e.g. cpu)")
     p.add_argument("--skip-make", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="pass --resume to main.py: continue training from "
+                        "the newest checkpoint in the run dir (recovers an "
+                        "interrupted rehearsal, e.g. a device outage)")
     p.add_argument("--skip-train", action="store_true",
                    help="reuse an existing checkpoint in --run")
     p.add_argument("--gate", action="store_true")
@@ -92,8 +96,9 @@ def main():
     opts = [f'train.output_dir="{args.run}"',
             f"solver.total_epochs={args.epochs}", *args.opts]
     if not args.skip_train:
+        resume = ["--resume"] if args.resume else []
         run([py, "-m", "rdpn6d_tpu.main", "--config-file",
-             "configs/mini.py", "--opts", *opts], env,
+             "configs/mini.py", *resume, "--opts", *opts], env,
             log=os.path.join(args.run, "train_log.txt"))
 
     gt_json = os.path.join(args.run, "metrics_gt_bbox.json")
