@@ -147,6 +147,12 @@ class DataConfig:
     # Samples per FRAME instead of per instance; incompatible with
     # repeat_factor_thresh.
     frame_bucket: int = 8           # frame-axis pad bucket (grouped path)
+    # bytes-capped LRU of raw decoded frames (uint8 rgb + stored-dtype
+    # depth, ~1.5 MB per 480x640 frame): multi-epoch training over
+    # small/medium splits stops re-paying the PNG decode ceiling
+    # (~53 frames/s/core) every epoch. Augmentation draws happen AFTER
+    # the cache (per-visit re-roll untouched). 0 disables.
+    frame_cache_mb: int = 2048
     train_datasets: tuple[str, ...] = ()
     train2_datasets: tuple[str, ...] = ()
     train2_ratio: float = 0.0

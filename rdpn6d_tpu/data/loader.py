@@ -29,6 +29,54 @@ class SkipRecord(Exception):
     like unreadable files (the reference's _rand_another)."""
 
 
+class _BytesLRU:
+    """Bytes-capped thread-safe LRU of decoded frames.
+
+    PNG decode is the measured host ceiling of the input path (PERF.md:
+    ~53 frames/s/core); on multi-epoch training over small/medium splits
+    the same frames are re-decoded every epoch. Caching the RAW decoded
+    arrays (pre-augmentation: background replacement, truncation and
+    color aug re-roll per visit AFTER the cache, so augmentation
+    diversity is untouched) removes that work from epoch 2 on. Cached
+    arrays are marked read-only — every downstream consumer copies
+    (astype / np.where / np.stack)."""
+
+    def __init__(self, cap_bytes: int):
+        from collections import OrderedDict
+        import threading
+
+        self.cap = cap_bytes
+        self._d: "OrderedDict[str, Any]" = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _nbytes(val) -> int:
+        if isinstance(val, dict):
+            return sum(v.nbytes for v in val.values()
+                       if isinstance(v, np.ndarray))
+        return val.nbytes
+
+    def get(self, key: str, decode):
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+        val = decode()  # decode OUTSIDE the lock: epoch-1 stays parallel
+        arrs = val.values() if isinstance(val, dict) else (val,)
+        for a in arrs:
+            if isinstance(a, np.ndarray):
+                a.flags.writeable = False
+        with self._lock:
+            if key not in self._d:
+                self._d[key] = val
+                self._bytes += self._nbytes(val)
+                while self._bytes > self.cap and len(self._d) > 1:
+                    _, old = self._d.popitem(last=False)
+                    self._bytes -= self._nbytes(old)
+        return val
+
+
 def _imread_rgb(path: str) -> np.ndarray:
     import cv2
 
@@ -82,6 +130,27 @@ class RecordDecoder:
         # per-record rng is threaded); augmentation draws use _record_rng
         self.rng = np.random.RandomState(seed)
         self._bg_files: list[str] | None = None
+        cap_mb = int(getattr(cfg.data, "frame_cache_mb", 0))
+        self._frame_cache = _BytesLRU(cap_mb << 20) if cap_mb > 0 else None
+
+    def _decoded_frame(self, rec: dict[str, Any]) -> dict[str, np.ndarray]:
+        """Raw decoded (rgb uint8, depth as-stored) for a record, through
+        the bytes-capped LRU when enabled. Pre-augmentation by design."""
+        import cv2
+
+        def decode():
+            bgr = cv2.imread(rec["rgb_path"], cv2.IMREAD_COLOR)
+            if bgr is None:
+                raise FileNotFoundError(rec["rgb_path"])
+            draw = cv2.imread(rec["depth_path"], cv2.IMREAD_UNCHANGED)
+            if draw is None:
+                raise FileNotFoundError(rec["depth_path"])
+            return {"rgb": cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB),
+                    "depth_stored": draw}
+
+        if self._frame_cache is None:
+            return decode()
+        return self._frame_cache.get(rec["rgb_path"], decode)
 
     def _record_rng(self, rec: dict[str, Any],
                     visit: int = 0) -> np.random.RandomState:
@@ -197,17 +266,14 @@ class RecordDecoder:
         grouped train path — the reference decodes and collates the frame
         once PER INSTANCE (engine_utils.py:6-63), a 4-5x host decode +
         PCIe waste on multi-instance datasets."""
-        import cv2
-
-        bgr = cv2.imread(rec["rgb_path"], cv2.IMREAD_COLOR)
-        if bgr is None:
-            raise FileNotFoundError(rec["rgb_path"])
-        draw = cv2.imread(rec["depth_path"], cv2.IMREAD_UNCHANGED)
-        if draw is None:
-            raise FileNotFoundError(rec["depth_path"])
+        base = self._decoded_frame(rec)
+        draw = base["depth_stored"]
+        if draw.dtype != np.uint16:
+            draw = draw.astype(np.uint16)
         return {
-            "rgb": cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB),  # uint8
-            "depth_raw": draw.astype(np.uint16),
+            "rgb": base["rgb"],  # uint8 (read-only when cached; every
+                                 # consumer copies: np.where/astype/stack)
+            "depth_raw": draw,
             "depth_factor": np.float32(rec["depth_factor"]),
             "K": rec["K"].astype(np.float32),
         }
@@ -286,8 +352,10 @@ class RecordDecoder:
     def __call__(self, rec: dict[str, Any],
                  visit: int = 0) -> dict[str, np.ndarray]:
         H, W = rec["height"], rec["width"]
-        rgb = _imread_rgb(rec["rgb_path"])
-        depth = _imread_depth(rec["depth_path"], rec["depth_factor"])
+        base = self._decoded_frame(rec)
+        rgb = base["rgb"].astype(np.float32)
+        depth = base["depth_stored"].astype(np.float32) \
+            / float(rec["depth_factor"])
         K = rec["K"]
         R, t = rec["R"], rec["t"]
 
