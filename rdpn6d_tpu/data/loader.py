@@ -215,16 +215,50 @@ class RecordDecoder:
         return xyz * m[..., None]
 
     def _mask_visib(self, rec: dict[str, Any]) -> np.ndarray | None:
-        """Visible-object mask from mask file or YCB-style label image."""
-        mask_visib = _imread_mask(rec.get("mask_visib_path", "")) \
-            if rec.get("mask_visib_path") else None
-        if mask_visib is None and rec.get("label_path"):
-            import cv2
+        """Visible-object mask from mask file or YCB-style label image.
+        Cached as uint8 in the frame LRU (a fresh float32 copy is returned
+        per call, so callers may write into it)."""
+        def load() -> np.ndarray | None:
+            mask = _imread_mask(rec.get("mask_visib_path", "")) \
+                if rec.get("mask_visib_path") else None
+            if mask is None and rec.get("label_path"):
+                import cv2
 
-            lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
-            if lab is not None:
-                mask_visib = (lab == rec["label_obj_id"]).astype(np.float32)
-        return mask_visib
+                lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
+                if lab is not None:
+                    mask = (lab == rec["label_obj_id"]).astype(np.float32)
+            return mask
+
+        if self._frame_cache is None:
+            return load()
+        key = ("mask", rec.get("mask_visib_path") or rec.get("label_path"),
+               rec.get("label_obj_id"))
+        if key[1] is None:
+            return None
+        m8 = self._frame_cache.get(key, lambda: (
+            lambda m: m.astype(np.uint8) if m is not None
+            else np.zeros(0, np.uint8))(load()))
+        if m8.size == 0:  # sentinel: no mask source produced one
+            return None
+        return m8.astype(np.float32)
+
+    def _xyz_full(self, path: str, H: int, W: int) -> np.ndarray:
+        """xyz_crop pkl pasted into a fresh float32 full-frame map; the
+        pkl contents (crop + box, stored dtype) ride the frame LRU."""
+        def load() -> dict[str, np.ndarray]:
+            import pickle
+
+            with open(path, "rb") as f:
+                info = pickle.load(f)
+            return {"xyxy": np.asarray(info["xyxy"], np.int32),
+                    "crop": np.asarray(info["xyz_crop"])}
+
+        info = load() if self._frame_cache is None \
+            else self._frame_cache.get(("xyz", path), load)
+        x1, y1, x2, y2 = (int(v) for v in info["xyxy"])
+        full = np.zeros((H, W, 3), np.float32)
+        full[y1:y2 + 1, x1:x2 + 1] = info["crop"].astype(np.float32)
+        return full
 
     def _bbox_xyxy(self, rec: dict[str, Any],
                    mask_visib: np.ndarray | None) -> np.ndarray:
@@ -300,7 +334,7 @@ class RecordDecoder:
         xyz16 = None
         if ship_xyz:
             if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
-                xyz16 = load_xyz_crop(rec["xyz_path"], H, W).astype(
+                xyz16 = self._xyz_full(rec["xyz_path"], H, W).astype(
                     np.float16)
             else:
                 depth = frame["depth_raw"].astype(np.float32) \
@@ -363,7 +397,7 @@ class RecordDecoder:
         mask_visib = self._mask_visib(rec)
 
         if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
-            xyz = load_xyz_crop(rec["xyz_path"], H, W)
+            xyz = self._xyz_full(rec["xyz_path"], H, W)
         else:
             xyz = self._depth_fallback_xyz(depth, rec, mask_visib)
 

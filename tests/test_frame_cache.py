@@ -123,5 +123,25 @@ def test_decoder_samples_identical_with_and_without_cache(tmp_path):
         f2 = dec_on.read_frame(recs[0])
         assert f1["rgb"] is f2["rgb"]  # same cached buffer
         assert not f1["rgb"].flags.writeable
+
+        # xyz pkl path: cached contents, fresh writable full-frame paste
+        import pickle
+
+        xyz_dir = sdir / "xyz_crop"
+        xyz_dir.mkdir()
+        crop = np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3)
+        pkl = xyz_dir / "000000_000000.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump({"xyxy": [10, 20, 12, 21], "xyz_crop": crop}, f)
+        rec_x = dict(recs[0], xyz_path=str(pkl))
+        a = dec_on(rec_x, visit=0)
+        b = dec_off(rec_x, visit=0)
+        np.testing.assert_array_equal(a["xyz"], b["xyz"])
+        np.testing.assert_array_equal(
+            a["xyz"][20:22, 10:13], crop)
+        assert a["xyz"].flags.writeable  # fresh paste per call
+        n2 = len(dec_on._frame_cache._d)
+        dec_on(rec_x, visit=1)  # pkl now rides the LRU
+        assert len(dec_on._frame_cache._d) == n2
     finally:
         mp.undo()
