@@ -102,19 +102,6 @@ def _imread_mask(path: str) -> np.ndarray:
     return (m > 0).astype(np.float32) if m is not None else None
 
 
-def load_xyz_crop(path: str, im_h: int, im_w: int) -> np.ndarray:
-    """Paste a precomputed xyz_crop pkl into a full-frame map
-    (data_loader.py:652-659)."""
-    import pickle
-
-    with open(path, "rb") as f:
-        info = pickle.load(f)
-    x1, y1, x2, y2 = info["xyxy"]
-    full = np.zeros((im_h, im_w, 3), np.float32)
-    full[y1:y2 + 1, x1:x2 + 1] = info["xyz_crop"].astype(np.float32)
-    return full
-
-
 class RecordDecoder:
     """record dict -> full-frame numpy sample for the device pipeline."""
 
@@ -216,31 +203,47 @@ class RecordDecoder:
 
     def _mask_visib(self, rec: dict[str, Any]) -> np.ndarray | None:
         """Visible-object mask from mask file or YCB-style label image.
-        Cached as uint8 in the frame LRU (a fresh float32 copy is returned
-        per call, so callers may write into it)."""
-        def load() -> np.ndarray | None:
-            mask = _imread_mask(rec.get("mask_visib_path", "")) \
-                if rec.get("mask_visib_path") else None
-            if mask is None and rec.get("label_path"):
-                import cv2
+        The binary mask / raw label image ride the frame LRU keyed by
+        path alone (one cached label image serves every instance of a
+        YCB-style frame); read failures are never cached, so a transient
+        error cannot pin the depth-fallback mask for the rest of the run.
+        A fresh float32 copy is returned per call, so callers may write
+        into it."""
+        cache = self._frame_cache
 
-                lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
-                if lab is not None:
-                    mask = (lab == rec["label_obj_id"]).astype(np.float32)
-            return mask
+        mpath = rec.get("mask_visib_path")
+        if mpath:
+            def load_m() -> np.ndarray:
+                m = _imread_mask(mpath)
+                if m is None:
+                    raise FileNotFoundError(mpath)
+                return m.astype(np.uint8)
 
-        if self._frame_cache is None:
-            return load()
-        key = ("mask", rec.get("mask_visib_path") or rec.get("label_path"),
-               rec.get("label_obj_id"))
-        if key[1] is None:
-            return None
-        m8 = self._frame_cache.get(key, lambda: (
-            lambda m: m.astype(np.uint8) if m is not None
-            else np.zeros(0, np.uint8))(load()))
-        if m8.size == 0:  # sentinel: no mask source produced one
-            return None
-        return m8.astype(np.float32)
+            try:
+                m8 = load_m() if cache is None \
+                    else cache.get(("mask", mpath), load_m)
+            except FileNotFoundError:
+                m8 = None
+            if m8 is not None:
+                return m8.astype(np.float32)
+
+        lpath = rec.get("label_path")
+        if lpath:
+            import cv2
+
+            def load_lab() -> np.ndarray:
+                lab = cv2.imread(lpath, cv2.IMREAD_UNCHANGED)
+                if lab is None:
+                    raise FileNotFoundError(lpath)
+                return lab
+
+            try:
+                lab = load_lab() if cache is None \
+                    else cache.get(("label", lpath), load_lab)
+            except FileNotFoundError:
+                return None
+            return (lab == rec["label_obj_id"]).astype(np.float32)
+        return None
 
     def _xyz_full(self, path: str, H: int, W: int) -> np.ndarray:
         """xyz_crop pkl pasted into a fresh float32 full-frame map; the

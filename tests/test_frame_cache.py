@@ -143,5 +143,29 @@ def test_decoder_samples_identical_with_and_without_cache(tmp_path):
         n2 = len(dec_on._frame_cache._d)
         dec_on(rec_x, visit=1)  # pkl now rides the LRU
         assert len(dec_on._frame_cache._d) == n2
+
+        # a transient mask-read failure must NOT be cached: once the file
+        # appears, later visits see the real mask (not a pinned miss)
+        miss = sdir / "mask_visib" / "000000_000099.png"
+        rec_m = dict(recs[0], mask_visib_path=str(miss))
+        assert dec_on._mask_visib(rec_m) is None
+        cv2.imwrite(str(miss), np.full((480, 640), 255, np.uint8))
+        m = dec_on._mask_visib(rec_m)
+        assert m is not None and m.max() == 1.0
+
+        # YCB-style label image: ONE cache entry serves every obj_id
+        lab_png = sdir / "label000.png"
+        lab_img = np.zeros((480, 640), np.uint8)
+        lab_img[:10, :10] = 3
+        lab_img[20:30, :10] = 7
+        cv2.imwrite(str(lab_png), lab_img)
+        n3 = len(dec_on._frame_cache._d)
+        m3 = dec_on._mask_visib({"label_path": str(lab_png),
+                                 "label_obj_id": 3})
+        m7 = dec_on._mask_visib({"label_path": str(lab_png),
+                                 "label_obj_id": 7})
+        assert len(dec_on._frame_cache._d) == n3 + 1
+        assert m3[:10, :10].all() and not m3[20:30, :10].any()
+        assert m7[20:30, :10].all() and not m7[:10, :10].any()
     finally:
         mp.undo()

@@ -7,6 +7,7 @@ import json
 import logging
 
 import numpy as np
+import pytest
 
 from rdpn6d_tpu.engine.writers import ConsoleWriter, JsonWriter, MetricBuffer
 
@@ -64,8 +65,8 @@ def test_tb_writer_constant_image_not_black(tmp_path, monkeypatch):
     from rdpn6d_tpu.engine.writers import TensorboardWriter
 
     w = TensorboardWriter(str(tmp_path))
-    if w._writer is None:  # no TF in the environment: semantics untestable
-        return
+    if w._writer is None:
+        pytest.skip("no tensorboard/TF backend in this environment")
     captured = {}
 
     real_image = w._tf.summary.image
