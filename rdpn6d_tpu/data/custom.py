@@ -31,26 +31,20 @@ __all__ = ["register_custom_dataset"]
 
 
 def _png_size(path: str) -> tuple[int, int]:
-    """(width, height) from a PNG/JPEG header without decoding pixels."""
+    """(width, height) of an image: PNG from the header without decoding
+    pixels; anything else via one cv2 decode (runs once per registration;
+    a hand-rolled JPEG marker scan breaks on legal 0xFF fill bytes)."""
     with open(path, "rb") as f:
         head = f.read(26)
-        if head[:8] == b"\x89PNG\r\n\x1a\n":      # IHDR is always first
-            w, h = struct.unpack(">II", head[16:24])
-            return int(w), int(h)
-        if head[:2] == b"\xff\xd8":               # JPEG: scan for SOFn
-            f.seek(2)
-            while True:
-                marker = f.read(2)
-                if len(marker) < 2 or marker[0] != 0xFF:
-                    break
-                if 0xC0 <= marker[1] <= 0xCF and marker[1] not in (
-                        0xC4, 0xC8, 0xCC):
-                    f.read(3)
-                    h, w = struct.unpack(">HH", f.read(4))
-                    return int(w), int(h)
-                (seg_len,) = struct.unpack(">H", f.read(2))
-                f.seek(seg_len - 2, os.SEEK_CUR)
-    raise ValueError(f"cannot read image size from {path}")
+    if head[:8] == b"\x89PNG\r\n\x1a\n":      # IHDR is always first
+        w, h = struct.unpack(">II", head[16:24])
+        return int(w), int(h)
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError(f"cannot read image size from {path}")
+    return int(img.shape[1]), int(img.shape[0])
 
 
 def _first_scene(root: str, subdirs: tuple[str, ...]) -> str | None:
@@ -143,7 +137,9 @@ def register_custom_dataset(
     if not (width and height) and scene is not None:
         rgb_dir = os.path.join(scene, "rgb")
         if os.path.isdir(rgb_dir):
-            frames = sorted(os.listdir(rgb_dir))
+            frames = sorted(
+                fn for fn in os.listdir(rgb_dir)
+                if fn.lower().endswith((".png", ".jpg", ".jpeg", ".tif")))
             if frames:
                 w_disc, h_disc = _png_size(
                     os.path.join(rgb_dir, frames[0]))

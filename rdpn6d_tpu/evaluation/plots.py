@@ -35,10 +35,13 @@ def recall_curve(errors: np.ndarray, thresholds: np.ndarray,
     """recall[t] = fraction of GT instances with error < thresholds[t].
 
     ``errors`` may contain inf rows (padded failures); the denominator is
-    ``n_gts`` when given (missed detections count against recall, the
-    evaluator's own convention) else len(errors).
+    ``n_gts`` when given else len(errors). The production caller
+    (eval_runner) passes errors that PoseEvaluator already inf-padded to
+    the GT count, so it omits ``n_gts`` — pass it only for raw,
+    un-padded error arrays (passing it WITH padded arrays would double-
+    count misses in the denominator).
     """
-    denom = max(int(n_gts) if n_gts else len(errors), 1)
+    denom = max(int(n_gts) if n_gts is not None else len(errors), 1)
     return (np.asarray(errors)[None, :]
             < thresholds[:, None]).sum(axis=1) / denom
 

@@ -163,6 +163,9 @@ def calibrate_quant(model, params, batch_stats, batches) -> dict:
                 "and int8_static=True — no conv recorded an activation "
                 "scale (got a full-precision model?)")
         quant = mut["quant"]
+    if quant is None:
+        raise ValueError("calibrate_quant got an empty batches iterable — "
+                         "serving with quant=None fails deep inside flax")
     # a conv whose calibration input never left zero would serve with an
     # ~1e-14 scale, clipping every later nonzero activation to +-127 and
     # silently zeroing its output — fail loudly instead

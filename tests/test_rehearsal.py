@@ -29,6 +29,29 @@ SMALL_OPTS = [
 ]
 
 
+def test_rescore_crosscheck_helpers():
+    """The step-7 rescore gate compares AR values, not just that a line
+    was printed (a CSV mm/m or transpose bug must fail the gate)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rehearse_protocol",
+        os.path.join(REPO, "tools", "rehearse_protocol.py"))
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    out = "noise\nBOP19: {'AR_mssd': 0.83, 'AR_mspd': 0.91, 'AR': 0.87}\n"
+    ars = rp.parse_bop19_line(out)
+    assert ars == {"AR_mssd": 0.83, "AR_mspd": 0.91, "AR": 0.87}
+    assert rp.parse_bop19_line("no marker here") == {}
+
+    est = {"AR_mssd": 0.84, "AR_mspd": 0.90, "AR": 0.87, "AR_vsd": 0.5}
+    assert rp.rescore_consistent(est, ars)          # within tol, vsd extra
+    broken = {"AR_mssd": 0.10, "AR_mspd": 0.91, "AR": 0.50}
+    assert not rp.rescore_consistent(est, broken)   # collapsed AR fails
+    assert not rp.rescore_consistent(est, {})       # nothing parsed fails
+
+
 @pytest.mark.slow
 def test_rehearse_protocol_chain(tmp_path):
     root = str(tmp_path / "minibop")

@@ -210,8 +210,8 @@ def write_scene(root, subdir, scene_id, n_images, meshes_m, rng,
         gts, infos = [], []
         keep = []
         for j, ((oid, R, t), mv, mf) in enumerate(zip(insts, visib, full)):
-            if mv.sum() < 64:       # fully occluded: drop the GT? no —
-                pass                # keep it; visib_fract will be tiny
+            # fully-occluded GTs are KEPT (visib_fract ~0): the train
+            # visib filter and eval targets handle them, like real BOP
             vf = float(mv.sum()) / max(float(mf.sum()), 1.0)
             ys, xs = np.nonzero(mv)
             if xs.size == 0:

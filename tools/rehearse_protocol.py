@@ -35,6 +35,28 @@ import sys
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
+def parse_bop19_line(out: str) -> dict[str, float]:
+    """Last ``BOP19: {...}`` dict printed by tools/score_csv.py."""
+    import ast
+
+    ars: dict[str, float] = {}
+    for line in out.splitlines():
+        if line.startswith("BOP19:"):
+            ars = ast.literal_eval(line.split("BOP19:", 1)[1].strip())
+    return ars
+
+
+def rescore_consistent(est_ars: dict, rescore_ars: dict,
+                       tol: float = 0.05) -> bool:
+    """Cached-CSV AR must agree with the in-process AR: the same scorer
+    runs twice, but the CSV round-trips R/t through text — a mm/m or
+    transpose bug in the CSV path collapses AR. ``tol`` allows one
+    threshold-straddling match to flip on a tiny test set."""
+    common = set(rescore_ars) & set(est_ars)
+    return bool(common) and all(
+        abs(rescore_ars[k] - est_ars[k]) <= tol for k in common)
+
+
 def run(cmd: list[str], env: dict, log: str = "") -> str:
     print(f"+ {' '.join(cmd)}", flush=True)
     proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
@@ -141,6 +163,10 @@ def main():
     with open(est_json) as f:
         est = json.load(f)
 
+    rescore_ars = parse_bop19_line(rescore_out)
+    est_ars = est.get("bop19", {})
+    rescore_ok = rescore_consistent(est_ars, rescore_ars)
+
     summary = {
         "gt_ad_10": gt["mean"].get("ad_10", 0.0),
         "gt_te_2": gt["mean"].get("te_2", 0.0),
@@ -148,8 +174,9 @@ def main():
         "gt_per_obj_ad_10": {o: v.get("ad_10", 0.0)
                              for o, v in gt["per_obj"].items()},
         "est_ad_10": est["mean"].get("ad_10", 0.0),
-        "est_bop19": est.get("bop19", {}),
-        "rescore_ran": "BOP19:" in rescore_out,
+        "est_bop19": est_ars,
+        "rescore_bop19": rescore_ars,
+        "rescore_ran": rescore_ok,
     }
     if train_mean is not None:
         summary["train_split"] = {k: train_mean.get(k, 0.0)
