@@ -19,27 +19,31 @@ from ..config import Config
 logger = logging.getLogger("rdpn6d")
 
 
-def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
-             dets_path: str = "", batch_size: int = 32,
-             csv_path: str | None = None,
-             state: Any = None, model: Any = None,
-             allow_random_init: bool = False) -> dict[str, Any]:
-    import jax
-    import jax.numpy as jnp
+def shard_records_by_frame(records: list[dict], process_index: int,
+                           process_count: int) -> list[dict]:
+    """Disjoint per-host test shard at FRAME granularity: all instances
+    of a (scene_id, im_id) land on one host, so the grouped host->device
+    frame dedup keeps working; the shards partition the split exactly
+    (rank 0 scores the pooled predictions, reference comm.all_gather
+    gdrn_evaluator.py:437-447)."""
+    fkeys = sorted({(r["scene_id"], r["im_id"]) for r in records})
+    mine = set(fkeys[process_index::process_count])
+    return [r for r in records if (r["scene_id"], r["im_id"]) in mine]
 
+
+_EVAL_MEMO: dict = {}
+
+
+def _eval_setup(cfg: Config, split_name: str, split: Any, ref: Any,
+                dets_path: str | None):
+    """Disk-parsing half of run_eval: records (target-filtered, with
+    detections attached), GT denominators, and asset banks. Pure in
+    (split, dataset root, detection config) — memoized across periodic
+    evals so training doesn't stall re-parsing every eval_period."""
     from ..data.assets import load_class_assets
-    from ..data.bop import build_split_records, get_split
+    from ..data.bop import build_split_records
     from ..data.detections import attach_detections, load_detections
-    from ..data.refs import get_ref
-    from ..evaluation import PoseEvaluator
-    from ..models import RDPN, dummy_batch
-    from ..parallel import create_train_state, make_eval_step
-    from ..solver import build_optimizer
-    from .checkpoint import CheckpointManager
-    from .inference import evaluate_and_report, inference_on_dataset
 
-    split = get_split(split_name)
-    ref = get_ref(split.ref_name)
     records = build_split_records(split, flatten=True)
 
     # BOP19 target filtering: score exactly the published target list
@@ -83,8 +87,16 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                     f"test_datasets {cfg.data.test_datasets} — cannot "
                     "pick among multiple det_files_test; pass --dets")
             di = 0
-        dets_path = cfg.data.det_files_test[min(
-            di, len(cfg.data.det_files_test) - 1)]
+        if len(cfg.data.det_files_test) == 1:
+            di = 0          # one shared detections file for every split
+        elif di >= len(cfg.data.det_files_test):
+            # silently clamping would score this split against ANOTHER
+            # dataset's boxes (most instances dropped, no warning)
+            raise ValueError(
+                f"data.det_files_test has {len(cfg.data.det_files_test)} "
+                f"entries but split {split_name!r} is test_datasets[{di}] "
+                "— the lists must align (or pass a single shared file)")
+        dets_path = cfg.data.det_files_test[di]
     # objects present in the GT (BEFORE detections attach: an object the
     # detector misses entirely still needs assets for its failure rows)
     present = sorted({rec["obj_id"] for rec in records})
@@ -95,6 +107,50 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     assets = load_class_assets(ref, cfg.head.num_regions,
                                cfg.loss.num_pm_points,
                                objs=[ref.id2obj[oid] for oid in present])
+    # score on the decimated eval meshes (reference model_eval_dir,
+    # gdrn_custom_evaluator.py; falls back to train meshes when
+    # models_eval/ is absent)
+    eval_assets = load_class_assets(
+        ref, cfg.head.num_regions, cfg.loss.num_pm_points,
+        objs=[ref.id2obj[oid] for oid in present], use_eval_models=True)
+    return records, targets, n_gts, id2name, present, assets, eval_assets
+
+
+def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
+             dets_path: str = "", batch_size: int = 32,
+             csv_path: str | None = None,
+             state: Any = None, model: Any = None,
+             allow_random_init: bool = False) -> dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.bop import get_split
+    from ..data.refs import get_ref
+    from ..evaluation import PoseEvaluator
+    from ..models import RDPN, dummy_batch
+    from ..parallel import create_train_state, make_eval_step
+    from ..solver import build_optimizer
+    from .checkpoint import CheckpointManager
+    from .inference import evaluate_and_report, inference_on_dataset
+
+    split = get_split(split_name)
+    ref = get_ref(split.ref_name)
+
+    # periodic-eval memo: records/targets/assets are pure functions of
+    # (split, dataset root, detection config) — re-parsing them from disk
+    # every eval_period stalls training for nothing. Keyed by root so
+    # tests that re-point RDPN6D_DATA_ROOT never see stale records.
+    memo_key = ("setup", split_name, ref.root, dets_path,
+                cfg.test.test_bbox_type,
+                tuple(cfg.data.det_files_test or ()),
+                int(cfg.data.det_topk_per_obj),
+                int(cfg.head.num_regions), int(cfg.loss.num_pm_points))
+    cached = _EVAL_MEMO.get(memo_key)
+    if cached is None:
+        cached = _eval_setup(cfg, split_name, split, ref, dets_path)
+        _EVAL_MEMO[memo_key] = cached
+    records, targets, n_gts, id2name, present, assets, eval_assets = cached
+    n_gts = dict(n_gts)  # the evaluator may hold it; never share the memo's
 
     want_int8 = cfg.test.int8 or False
     want_static = bool(cfg.test.int8 and cfg.test.int8_static)
@@ -102,8 +158,16 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
             (want_int8, want_static):
         # periodic-eval path: the trainer's bf16 model cannot record the
         # quant collection calibrate_quant needs — rebuild the serving
-        # model (identical param tree, so the live state serves directly)
-        model = None
+        # model (identical param tree, so the live state serves directly),
+        # memoized per trainer-model so every period reuses ONE module
+        mk = ("serving_model", id(model), want_int8, want_static)
+        if mk not in _EVAL_MEMO:
+            # value pins the trainer model: its id() can't be recycled
+            # onto a different module while this memo entry lives
+            _EVAL_MEMO[mk] = (model, RDPN(cfg, dtype=jnp.bfloat16,
+                                          int8=want_int8,
+                                          int8_static=want_static))
+        model = _EVAL_MEMO[mk][1]
     if model is None:
         model = RDPN(cfg, dtype=jnp.bfloat16, int8=want_int8,
                      int8_static=want_static)
@@ -121,12 +185,6 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
         state, _ = mgr.restore(state)
     eval_step = make_eval_step(cfg, model)
 
-    # score on the decimated eval meshes (reference model_eval_dir,
-    # gdrn_custom_evaluator.py; falls back to train meshes when
-    # models_eval/ is absent)
-    eval_assets = load_class_assets(
-        ref, cfg.head.num_regions, cfg.loss.num_pm_points,
-        objs=[ref.id2obj[oid] for oid in present], use_eval_models=True)
     evaluator = PoseEvaluator(
         models={ref.id2obj[oid]: eval_assets.for_obj(oid)["points"]
                 for oid in eval_assets.obj_ids},
@@ -139,6 +197,18 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
         precision=cfg.test.eval_precision,
     )
 
+    # multi-host: each process infers a disjoint FRAME shard (instances
+    # of a frame stay together so grouped transfer dedup keeps working);
+    # n_gts / present / evaluator above were built from the FULL record
+    # set, since rank 0 scores the pooled predictions of every host.
+    # Without this shard every host would evaluate the whole split and
+    # gather_predictions would duplicate each estimate process_count x.
+    if jax.process_count() > 1:
+        records = shard_records_by_frame(records, jax.process_index(),
+                                         jax.process_count())
+        logger.info(f"host {jax.process_index()}/{jax.process_count()}: "
+                    f"{len(records)} instances in this host's frame shard")
+
     key = jax.random.PRNGKey(0)
 
     # fuse preprocessing + model into ONE compiled program per batch
@@ -147,8 +217,13 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     # instances, so full frames cross host->device ONCE per image via the
     # grouped pipeline instead of once per ROI (the reference re-collates
     # the image per ROI, engine_utils.py:66-99)
-    from ..data.loader import _imread_depth, _imread_mask, _imread_rgb
+    from ..data.loader import RecordDecoder
     from ..data.pipeline import preprocess_rois_grouped
+
+    # compact-dtype frame reads (uint8 RGB, raw uint16 depth + factor,
+    # cast on device) with the decoder's frame/mask LRU: the float32
+    # full-frame path paid ~3x the host->device bytes per eval frame
+    decoder = RecordDecoder(cfg, assets, train=False)
 
     # frames-per-batch sized to the split's instance density, so
     # single-instance datasets (LM/TUDL: 1 ROI/frame) fill whole batches
@@ -166,7 +241,20 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
         batch["roi_cls"] = roi_cls
         return eval_step(state, batch)
 
-    eval_step_fused = jax.jit(fused_step)
+    # periodic evals reuse ONE jitted callable so jax's trace cache holds
+    # across calls (a fresh jax.jit object every period would re-trace).
+    # NOT memoized for static int8: that path rebinds eval_step after
+    # per-call calibration through this closure's cell — a cached closure
+    # from a previous call would silently serve the previous scales.
+    sk = ("fused_step", id(model), batch_size, max_frames)
+    if want_static:
+        eval_step_fused = jax.jit(fused_step)
+    else:
+        if sk not in _EVAL_MEMO:
+            # value pins the model: its id() can't be recycled onto a
+            # different module while this memo entry lives
+            _EVAL_MEMO[sk] = (model, jax.jit(fused_step))
+        eval_step_fused = _EVAL_MEMO[sk][1]
     step_for_driver = lambda state, b: eval_step_fused(  # noqa: E731
         state, b["frames"], b["rois"], b["roi_cls"])
 
@@ -177,16 +265,10 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
             return np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]],
                             np.float32) if rec.get(
                 "bbox_mode", "xywh") == "xywh" and b.shape[0] == 4 else b
-        m = None
-        if rec.get("mask_visib_path"):
-            m = _imread_mask(rec["mask_visib_path"])
-        if m is None and rec.get("label_path"):
-            # YCB-style class-id label image (MP6D): mask = label == obj_id
-            # (same derivation the training decoder uses, loader.py:111-117)
-            import cv2
-            lab = cv2.imread(rec["label_path"], cv2.IMREAD_UNCHANGED)
-            if lab is not None:
-                m = (lab == rec["label_obj_id"]).astype(np.uint8)
+        # mask/label fallback via the decoder: same derivation the
+        # training path uses, with its path-keyed LRU (a YCB-style label
+        # image decodes once per frame, not once per instance)
+        m = decoder._mask_visib(rec)
         if m is None or not m.any():
             return None
         ys, xs = np.nonzero(m)
@@ -221,12 +303,7 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
                 frames_l, rois_l, meta, fmap = [], [], [], {}
             if fkey not in fmap:
                 try:
-                    frame = {
-                        "rgb": _imread_rgb(rec["rgb_path"]),
-                        "depth": _imread_depth(rec["depth_path"],
-                                               rec["depth_factor"]),
-                        "K": rec["K"].astype(np.float32),
-                    }
+                    frame = decoder.read_frame(rec)
                 except (FileNotFoundError, OSError) as e:
                     logger.warning(f"skip {rec['rgb_path']}: {e}")
                     continue
@@ -341,7 +418,7 @@ def coord_regression_eval(cfg: Config, ckpt_dir: str, split_name: str,
 
     from ..data.assets import load_class_assets
     from ..data.bop import build_split_records, get_split
-    from ..data.loader import RecordDecoder
+    from ..data.loader import RecordDecoder, SkipRecord
     from ..data.pipeline import preprocess_batch
     from ..data.refs import get_ref
     from ..models import RDPN, dummy_batch
@@ -399,7 +476,9 @@ def coord_regression_eval(cfg: Config, ckpt_dir: str, split_name: str,
         for rec in chunk:
             try:
                 samples.append(decoder(rec))
-            except (FileNotFoundError, OSError):
+            except (FileNotFoundError, OSError, SkipRecord):
+                # SkipRecord: undecodable instance (e.g. fully-occluded
+                # MP6D label mask) — skip like the train iterators do
                 continue
         if not samples:
             continue

@@ -134,6 +134,16 @@ class Trainer:
                     pass
 
             if (it + 1) % ckpt_period == 0 or (it + 1) == self.total_iters:
+                # force-check THIS step's loss before persisting: the
+                # lag-1 guard above has only vetted it-1, so without this
+                # sync a NaN landing exactly on a checkpoint iteration
+                # (or the final one, never lag-checked) would be saved as
+                # the latest state and restored by --resume
+                if not np.isfinite(float(metrics.get("total_loss", 0.0))):
+                    raise FloatingPointError(
+                        f"non-finite total loss at iter {it} — refusing "
+                        "to checkpoint the poisoned state")
+                prev = None  # already checked; skip the lag-1 re-check
                 # all processes call save (collective); device arrays go
                 # straight to orbax so multi-host shardings are preserved
                 self.ckpt.save(it + 1, self.state)

@@ -115,7 +115,21 @@ def main(argv=None):
     logger.info(f"devices: {jax.devices()}")
 
     n_dev = args.num_devices or len(jax.devices())
+    if jax.process_count() > 1 and n_dev != len(jax.devices()):
+        raise ValueError(
+            f"--num-devices={n_dev} on a multi-host run: the mesh would "
+            f"take the first {n_dev} of {len(jax.devices())} global "
+            "devices and strand whole processes — use every device")
     if cfg.solver.ims_per_batch % n_dev != 0:
+        if jax.process_count() > 1:
+            # the gcd fallback takes the FIRST n_dev global devices —
+            # on a multi-host pod that can leave entire processes
+            # without mesh devices (shard_batch div-by-zero, desynced
+            # collective checkpoint saves). Sizing the batch is cheap;
+            # silently shrinking the pod is not.
+            raise ValueError(
+                f"ims_per_batch={cfg.solver.ims_per_batch} must be "
+                f"divisible by the {n_dev} devices of a multi-host run")
         import math
         n_dev = math.gcd(n_dev, cfg.solver.ims_per_batch)
         logger.warning(

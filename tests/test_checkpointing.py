@@ -44,3 +44,41 @@ def test_max_to_keep(tmp_path):
         mgr.save(s, _state(float(s)))
     steps = mgr._mgr.all_steps()
     assert sorted(steps) == [2, 3]
+def test_nan_on_checkpoint_iteration_refuses_to_save(tmp_path):
+    """A NaN landing exactly on a checkpoint iteration (here: the final
+    one, which the lag-1 guard never re-checks) must abort BEFORE the
+    poisoned state is persisted as the latest checkpoint."""
+    import numpy as np
+    import pytest
+
+    from rdpn6d_tpu.config import Config
+    from rdpn6d_tpu.engine.checkpoint import CheckpointManager
+    from rdpn6d_tpu.engine.trainer import Trainer
+    from rdpn6d_tpu.engine.writers import ConsoleWriter, MetricBuffer
+    from rdpn6d_tpu.parallel import create_mesh
+
+    cfg = Config().apply_opts(
+        ["solver.total_epochs=1", "train.log_period=100"])
+    t = Trainer.__new__(Trainer)
+    t.cfg, t.total_iters, t.mesh = cfg, 4, create_mesh(1)
+    t.schedule = lambda it: 1e-4
+    t.state = None
+    t.is_main = True
+    t.ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    t.buf, t.console = MetricBuffer(), ConsoleWriter(4)
+    t.json_writer = t.tb = None
+
+    calls = {"n": 0}
+
+    def step(state, batch):
+        i = calls["n"]
+        calls["n"] += 1
+        # finite until the FINAL iteration (a checkpoint iteration)
+        return state, {"total_loss": np.float32("nan") if i == 3
+                       else np.float32(1.0)}
+
+    t.step_fn = step
+    loader = iter({"x": np.zeros((1, 1), np.float32)} for _ in range(4))
+    with pytest.raises(FloatingPointError, match="refusing to checkpoint"):
+        t.train(loader)
+    assert t.ckpt.latest_step() is None  # nothing was persisted

@@ -130,3 +130,28 @@ def test_two_process_train(tmp_path):
     # the same global loss (the metric is psum'd over the global batch)
     metrics = open(os.path.join(out_dir, "metrics.json")).read().strip()
     assert "total_loss" in metrics
+
+
+def test_shard_records_by_frame_partitions_exactly():
+    """Eval sharding: disjoint per-host frame shards that cover the split
+    (without it, every host evaluated everything and gather_predictions
+    duplicated each estimate process_count x)."""
+    from rdpn6d_tpu.engine.eval_runner import shard_records_by_frame
+
+    records = [{"scene_id": s, "im_id": i, "obj_id": o}
+               for s in (1, 2) for i in range(5) for o in (1, 2, 3)]
+    for pc in (2, 3, 4):
+        shards = [shard_records_by_frame(records, pi, pc)
+                  for pi in range(pc)]
+        ids = [tuple(sorted((r["scene_id"], r["im_id"], r["obj_id"])
+                            for r in sh)) for sh in shards]
+        # exact partition: disjoint union == the full split
+        merged = sorted(sum((list(t) for t in ids), []))
+        assert merged == sorted((r["scene_id"], r["im_id"], r["obj_id"])
+                                for r in records)
+        # frame granularity: a frame's instances never straddle hosts
+        for sh in shards:
+            frames = {(r["scene_id"], r["im_id"]) for r in sh}
+            n = sum(1 for r in records
+                    if (r["scene_id"], r["im_id"]) in frames)
+            assert n == len(sh)
