@@ -75,7 +75,8 @@ def inference_on_dataset(
         pending = (out, meta, t0)
     if pending is not None:
         p_out, p_meta, p_t0 = pending
-        consume(p_out, p_meta, time.perf_counter() - p_t0)
+        t_flush = time.perf_counter()
+        consume(p_out, p_meta, t_flush - p_t0)
         n_rois += len(p_meta)
         # the flushed batch has index i; fold it into the steady-state
         # window only under the same condition the in-loop path uses
@@ -83,6 +84,10 @@ def inference_on_dataset(
         # the warmup window reports no steady-state throughput instead of
         # one that includes compile time
         if i + 1 > num_warmup:
+            # its host-processing time counts too: n_timed covers this
+            # batch, so total_process must as well (skipping it would
+            # understate ms/roi host process by up to the final batch)
+            total_process += time.perf_counter() - t_flush
             n_timed += len(p_meta)
             if t_first is None:
                 t_first = p_t0
@@ -98,8 +103,8 @@ def inference_on_dataset(
             f"process (overlapped), "
             f"{n_timed / max(total_wall, 1e-9):.1f} poses/sec")
     return {
-        "compute_s": total_wall,
-        "process_s": total_process,
+        "wall_s": total_wall,        # steady-state window (partition of
+        "process_s": total_process,  # time; host process is overlapped)
         "n_rois": n_rois,
     }
 

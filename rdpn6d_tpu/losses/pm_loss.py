@@ -84,6 +84,10 @@ def point_matching_loss(
             }
         return {
             "loss_PM_R": 3.0 * red(w * (pts_est - pts_tgt)) * loss_weight,
+            # the *_noP terms are deliberately NOT scaled by loss_weight
+            # (nor 3x): the reference's PyPMLoss leaves its _noP entries
+            # unweighted too (pm_loss.py:120-171), and shipped configs
+            # tune against that balance
             "loss_PM_xy_noP": red(pred_trans[:, :2] - gt_trans[:, :2]),
             "loss_PM_z_noP": red(pred_trans[:, 2] - gt_trans[:, 2]),
         }

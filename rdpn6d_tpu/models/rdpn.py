@@ -152,9 +152,9 @@ class RDPN(nn.Module):
         if pnp_cfg.with_2d_coord:
             feats.append(batch["roi_coord_2d"])  # [B,64,64,5] dxyz/4 + uv
 
-        region_softmax = jax.nn.softmax(
-            region_logits[..., 1:], axis=-1)     # drop bg channel
-        region_ids = jnp.argmax(region_softmax, axis=-1)  # [B,64,64]
+        # argmax over logits == argmax over softmax, and the [B,H,W,K]
+        # softmax itself is only needed when it feeds region attention
+        region_ids = jnp.argmax(region_logits[..., 1:], axis=-1)  # [B,64,64]
         region_fps = gather_region_fps(batch["fps"], region_ids)
         feats.append(region_fps)
 
@@ -168,7 +168,8 @@ class RDPN(nn.Module):
                 [coord_feat, _mask_prob(mask_logits, head_cfg.mask_loss)],
                 axis=-1)
 
-        region_atten = region_softmax if pnp_cfg.region_attention else None
+        region_atten = jax.nn.softmax(region_logits[..., 1:], axis=-1) \
+            if pnp_cfg.region_attention else None
 
         if pnp_cfg.pnp_head == "ConvPnPNet":
             pnp_net = ConvPnPNet(

@@ -51,20 +51,28 @@ def shard_batch(batch: dict[str, Any], mesh: Mesh,
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sh), batch)
 
-    # this process's mesh devices, in global flat order (the row-block
-    # order P(axis) assigns) — preprocessed device arrays are resharded
-    # device-to-device; np.asarray here would round-trip the whole batch
-    # through host memory every step
+    # preprocessed device arrays are resharded device-to-device;
+    # np.asarray here would round-trip the whole batch through host
+    # memory every step. Each local device receives the slice for its
+    # coordinate along the batch axis (devices differing only along
+    # OTHER mesh axes are replicas and receive the same slice — keying
+    # the fast path on mesh.devices.ndim==1 would silently fall back to
+    # the host round-trip for every multi-axis mesh).
     me = jax.process_index()
-    local_flat = [d for d in mesh.devices.flat if d.process_index == me]
+    axi = list(mesh.axis_names).index(axis)
+    local = [(idx[axi], d) for idx, d in np.ndenumerate(mesh.devices)
+             if d.process_index == me]
+    local_rows = sorted({r for r, _ in local})
+    row_of = {r: i for i, r in enumerate(local_rows)}
 
     def _to_global(x):
-        if isinstance(x, jax.Array) and mesh.devices.ndim == 1 \
-                and x.ndim >= 1 and x.shape[0] % len(local_flat) == 0:
-            per = x.shape[0] // len(local_flat)
-            arrs = [jax.device_put(x[i * per:(i + 1) * per], d)
-                    for i, d in enumerate(local_flat)]
-            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        if isinstance(x, jax.Array) and x.ndim >= 1 and local_rows \
+                and x.shape[0] % len(local_rows) == 0:
+            per = x.shape[0] // len(local_rows)
+            arrs = [jax.device_put(
+                        x[row_of[r] * per:(row_of[r] + 1) * per], d)
+                    for r, d in local]
+            gshape = (per * mesh.devices.shape[axi],) + x.shape[1:]
             return jax.make_array_from_single_device_arrays(
                 gshape, sh, arrs)
         return jax.make_array_from_process_local_data(sh, np.asarray(x))

@@ -59,4 +59,19 @@ def build_optimizer(cfg: Config, total_iters: int, schedule=None
         raise ValueError(s.optimizer)
     if s.max_grad_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(s.max_grad_norm), opt)
+    if cfg.backbone.freeze:
+        # the model stop-gradients backbone activations (rdpn.py), so
+        # backbone grads are exactly zero — but decoupled weight decay
+        # (adamw / ranger's add_decayed_weights) would still shrink the
+        # pretrained weights toward zero every step. Mask the whole
+        # transformation off for the backbone subtree, matching the torch
+        # reference, which excludes requires_grad=False params from the
+        # optimizer entirely.
+        import jax
+
+        def _trainable(params):
+            return {k: jax.tree_util.tree_map(lambda _: k != "backbone", v)
+                    for k, v in params.items()}
+
+        opt = optax.masked(opt, _trainable)
     return opt

@@ -134,3 +134,31 @@ def test_remat_identical_forward_and_params():
     o1 = m1.apply(v, b, train=False)
     np.testing.assert_allclose(np.asarray(o0["rot_ego"]),
                                np.asarray(o1["rot_ego"]), atol=1e-6)
+
+
+def test_frozen_backbone_immune_to_weight_decay():
+    """backbone.freeze must mask the WHOLE optimizer update for the
+    backbone subtree: stop_gradient zeroes its grads, but decoupled
+    weight decay (adamw/ranger) would still shrink the pretrained
+    weights toward zero every step without the optax.masked wrap."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rdpn6d_tpu.config import Config
+    from rdpn6d_tpu.solver import build_optimizer
+
+    cfg = Config().apply_opts(["backbone.freeze=true",
+                               "solver.optimizer=adamw",
+                               "solver.weight_decay=0.1"])
+    params = {"backbone": {"conv": jnp.ones((3, 3))},
+              "pnp_net": {"fc": jnp.ones((3, 3))}}
+    grads = {"backbone": {"conv": jnp.zeros((3, 3))},
+             "pnp_net": {"fc": jnp.full((3, 3), 0.5)}}
+    tx = build_optimizer(cfg, total_iters=10)
+    st = tx.init(params)
+    import optax
+
+    upd, _ = tx.update(grads, st, params)
+    new = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(new["backbone"]["conv"]), 1.0)
+    assert float(jnp.abs(new["pnp_net"]["fc"] - 1.0).max()) > 0
