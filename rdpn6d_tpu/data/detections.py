@@ -33,6 +33,11 @@ def load_detections(path: str) -> dict[tuple[int, int], list[dict]]:
         raw = items
     out: dict[tuple[int, int], list[dict]] = defaultdict(list)
     for d in raw:
+        if "scene_id" not in d and "scene_im_id" in d:
+            # list layout with BOP-style "scene/id" keys per entry
+            d = dict(d)
+            s, i = str(d["scene_im_id"]).split("/")
+            d["scene_id"], d["im_id"] = int(s), int(i)
         if "bbox_est" not in d and "bbox" not in d:
             raise ValueError(
                 f"detection entry without bbox_est/bbox: {sorted(d)} "

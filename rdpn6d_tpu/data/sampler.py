@@ -1,4 +1,4 @@
-"""Samplers: infinite shuffled, repeat-factor, sharded inference.
+"""Samplers: infinite shuffled and repeat-factor, optionally host-sharded.
 
 Counterpart of the reference's ``core/utils/my_distributed_sampler.py``
 (TrainingSampler :12-54, RepeatFactorTrainingSampler :57-169,
@@ -50,6 +50,9 @@ class RepeatFactorSampler(InfiniteSampler):
                  num_shards: int = 1):
         cats = np.asarray(category_ids)
         n = len(cats)
+        # empty input would slip past the base assert via max(...,1) and
+        # leave _infinite busy-spinning, yielding nothing forever
+        assert n > 0, "RepeatFactorSampler needs a non-empty record list"
         freqs = {c: np.sum(cats == c) / n for c in np.unique(cats)}
         cat_repeat = {c: max(1.0, math.sqrt(repeat_thresh / f))
                       for c, f in freqs.items()}
@@ -76,10 +79,6 @@ class RepeatFactorSampler(InfiniteSampler):
                 indices = indices[rng.permutation(len(indices))]
             yield from indices.tolist()
 
-
-def inference_shards(size: int, shard_id: int = 0,
-                     num_shards: int = 1) -> list[int]:
-    """Contiguous per-host split covering every index exactly once."""
-    per = (size + num_shards - 1) // num_shards
-    start = shard_id * per
-    return list(range(start, min(start + per, size)))
+# (eval-time host sharding lives in engine/eval_runner.py
+# shard_records_by_frame — frame granularity, so multi-instance frames
+# never straddle hosts)

@@ -203,6 +203,7 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     # set, since rank 0 scores the pooled predictions of every host.
     # Without this shard every host would evaluate the whole split and
     # gather_predictions would duplicate each estimate process_count x.
+    all_records = records  # rank-0 scoring needs the FULL split's GT
     if jax.process_count() > 1:
         records = shard_records_by_frame(records, jax.process_index(),
                                          jax.process_count())
@@ -391,8 +392,10 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     # (reference VAL.ERROR_TYPES -> eval_pose_results_more.py pipeline)
     err_types = {t.strip() for t in cfg.test.error_types.split(",")}
     if targets is not None and err_types & {"vsd", "mssd", "mspd"}:
+        # all_records, not this host's shard: rank 0 scores the POOLED
+        # estimates, so the GT/depth lookup must cover every frame
         result["bop19"] = _bop19_scores(
-            cfg, ref, records, targets, evaluator, eval_assets,
+            cfg, ref, all_records, targets, evaluator, eval_assets,
             with_vsd="vsd" in err_types)
         logger.info(f"BOP19 AR: {result['bop19']}")
 

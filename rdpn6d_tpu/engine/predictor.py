@@ -50,6 +50,14 @@ class Predictor:
 
             with open(params_pkl, "rb") as f:
                 loaded = pickle.load(f)
+            # the pkl must COVER the init tree: a partial merge (renamed
+            # head, missing subtree, absent batch_stats) would silently
+            # serve random-init leaves / identity BN stats
+            _check_covers(variables["params"], loaded.get("params", {}),
+                          "params", params_pkl)
+            _check_covers(variables.get("batch_stats", {}),
+                          loaded.get("batch_stats", {}), "batch_stats",
+                          params_pkl)
             variables = {"params": _merge(variables["params"],
                                           loaded["params"]),
                          "batch_stats": _merge(
@@ -61,6 +69,7 @@ class Predictor:
 
         self.state = create_train_state(cfg, variables, optax.identity())
         if ckpt_dir:
+            from ..solver import build_optimizer
             from .checkpoint import CheckpointManager
 
             mgr = CheckpointManager(ckpt_dir)
@@ -68,7 +77,16 @@ class Predictor:
                 raise FileNotFoundError(
                     f"no checkpoint found in {ckpt_dir!r} — a Predictor "
                     "must never silently serve random-init weights")
-            self.state, _ = mgr.restore(self.state)
+            # trainer checkpoints carry the FULL optimizer state tree;
+            # orbax StandardRestore refuses a template whose opt_state is
+            # optax.identity()'s EmptyState (tree-structure mismatch), so
+            # restore with a matching template and then drop the solver
+            # state for serving
+            full = create_train_state(
+                cfg, variables, build_optimizer(cfg, total_iters=1))
+            restored, _ = mgr.restore(full)
+            self.state = self.state.replace(
+                params=restored.params, batch_stats=restored.batch_stats)
         elif not params_pkl and not allow_random_init:
             raise ValueError(
                 "Predictor requires ckpt_dir or params_pkl (refusing to "
@@ -90,8 +108,11 @@ class Predictor:
         # the frame crosses host->device ONCE; every ROI crops it by index
         # inside the jitted graph (data/pipeline.preprocess_rois_grouped)
         frames = {
-            "rgb": jnp.asarray(rgb[None].astype(np.float32)),
-            "depth": jnp.asarray(depth[None].astype(np.float32)),
+            # rgb ships in its native dtype (uint8 welcome) — the device
+            # pipeline casts; a host astype(float32) would quadruple the
+            # host->device bytes of every served frame
+            "rgb": jnp.asarray(np.asarray(rgb)[None]),
+            "depth": jnp.asarray(np.asarray(depth, np.float32)[None]),
             "K": jnp.asarray(np.asarray(K, np.float32)[None]),
         }
         for lo in range(0, n, bs):
@@ -140,3 +161,23 @@ def _merge(dst, src):
         out[k] = _merge(out.get(k, {}), v) if isinstance(v, dict) \
             else np.asarray(v)
     return out
+
+
+def _tree_paths(t, prefix=()):
+    if isinstance(t, dict):
+        for k, v in t.items():
+            yield from _tree_paths(v, prefix + (str(k),))
+    else:
+        yield prefix
+
+
+def _check_covers(init_tree, loaded, name: str, path: str) -> None:
+    """The loaded pkl must provide EVERY leaf of the init tree — a partial
+    merge would silently serve random-init weights / identity BN stats."""
+    missing = set(_tree_paths(init_tree)) - set(_tree_paths(loaded))
+    if missing:
+        some = sorted("/".join(m) for m in missing)[:5]
+        raise ValueError(
+            f"{path}: {name} tree does not cover the model — "
+            f"{len(missing)} missing leaves (e.g. {some}); refusing to "
+            "mix random-init values into served weights")

@@ -58,6 +58,39 @@ def mspd(R_est: jax.Array, t_est: jax.Array, R_gt: jax.Array,
     return jnp.min(jnp.max(d, axis=-1), axis=-1)
 
 
+def _np_gt_sym_poses(R_gt, t_gt, sym_rots, sym_trans):
+    R_gt_s = R_gt[None] @ sym_rots                       # [S, 3, 3]
+    t_gt_s = (sym_trans @ R_gt.T if sym_trans is not None
+              else np.zeros((len(sym_rots), 3), R_gt.dtype)) + t_gt
+    return R_gt_s, t_gt_s
+
+
+def mssd_np(R_est, t_est, R_gt, t_gt, pts, sym_rots,
+            sym_trans=None) -> float:
+    """Host numpy mssd for ONE (estimate, GT) pair: the BOP19 scorer
+    walks pairs in python, and a per-pair device dispatch + sync costs
+    ~ms of relay latency each against ~us of host math (N~3k points)."""
+    pe = pts @ R_est.T + t_est                           # [N, 3]
+    R_gt_s, t_gt_s = _np_gt_sym_poses(R_gt, t_gt, sym_rots, sym_trans)
+    pg = np.einsum("nj,sij->sni", pts, R_gt_s) + t_gt_s[:, None, :]
+    d = np.linalg.norm(pe[None] - pg, axis=-1)           # [S, N]
+    return float(d.max(axis=1).min())
+
+
+def mspd_np(R_est, t_est, R_gt, t_gt, pts, sym_rots, K,
+            sym_trans=None) -> float:
+    """Host numpy mspd for one pair (see mssd_np)."""
+    def proj(p):                                          # [..., N, 3]
+        c = p @ K.T
+        return c[..., :2] / c[..., 2:3]
+
+    pe = proj(pts @ R_est.T + t_est)
+    R_gt_s, t_gt_s = _np_gt_sym_poses(R_gt, t_gt, sym_rots, sym_trans)
+    pg = proj(np.einsum("nj,sij->sni", pts, R_gt_s) + t_gt_s[:, None, :])
+    d = np.linalg.norm(pe[None] - pg, axis=-1)
+    return float(d.max(axis=1).min())
+
+
 def vsd(R_est: np.ndarray, t_est: np.ndarray, R_gt: np.ndarray,
         t_gt: np.ndarray, depth_test: np.ndarray, K: np.ndarray,
         verts: np.ndarray, faces: np.ndarray,
@@ -94,14 +127,17 @@ def vsd_from_depths(d_est: np.ndarray, d_gt: np.ndarray,
     same target — the reference re-renders it per estimate pair
     (eval_calc_errors.py), which dominates full-test-set VSD time.
     """
-    # visibility masks: rendered surface within delta of (or in front of)
-    # the measured scene depth; est visibility additionally includes pixels
-    # visible in gt (BOP visibility.estimate_visib_mask_est semantics)
+    # visibility masks, toolkit 'bop19' mode (visibility.py:34-37):
+    # visible where the rendered surface is within delta of (or in front
+    # of) the measured scene depth OR the scene depth is missing (shiny
+    # objects the sensor can't capture); est visibility additionally
+    # includes pixels visible in gt (estimate_visib_mask_est:58-76)
     valid_scene = depth_test > 0
 
     def visib(d):
         m = d > 0
-        below = m & valid_scene & (d - depth_test < delta)
+        # toolkit uses <= delta (a boundary pixel exactly at delta counts)
+        below = m & valid_scene & (d - depth_test <= delta)
         only_render = m & ~valid_scene
         return below | only_render
 
@@ -111,18 +147,18 @@ def vsd_from_depths(d_est: np.ndarray, d_gt: np.ndarray,
     inter = v_gt & v_est
     union = v_gt | v_est
     n_union = int(union.sum())
+    if n_union == 0:
+        return [1.0] * len(taus)
+    # tau-invariant pieces hoisted out of the loop (BOP19 sweeps 10 taus)
+    diff = np.abs(d_est[inter] - d_gt[inter])
+    n_outer = float((~inter & union).sum())
     errs = []
     for tau in taus:
         tau_abs = tau * diameter if (normalized_by_diameter
                                      and diameter is not None) else tau
-        if n_union == 0:
-            errs.append(1.0)
-            continue
-        diff = np.abs(d_est - d_gt)
         if cost_type == "step":
-            cost = (diff > tau_abs).astype(np.float64)
+            cost_sum = float((diff > tau_abs).sum())
         else:  # tlinear
-            cost = np.clip(diff / tau_abs, 0, 1)
-        e = (cost[inter].sum() + float((~inter & union).sum())) / n_union
-        errs.append(float(e))
+            cost_sum = float(np.clip(diff / tau_abs, 0, 1).sum())
+        errs.append((cost_sum + n_outer) / n_union)
     return errs

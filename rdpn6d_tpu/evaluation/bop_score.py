@@ -203,29 +203,29 @@ def bop19_average_recalls(
     sym_trans: dict[int, np.ndarray] | None = None,
 ) -> dict[str, float]:
     """MSSD/MSPD (and optional VSD) average recalls + combined AR."""
-    import jax.numpy as jnp
-
-    from .bop_errors import mspd as mspd_fn, mssd as mssd_fn
+    # host numpy per pair: the matching loop is python anyway, and one
+    # device dispatch + float() sync PER (est, gt) pair made full-split
+    # BOP19 scoring relay-latency-bound (~ms each vs ~us of host math)
+    from .bop_errors import mspd_np, mssd_np
 
     def _st(oid):
-        return None if sym_trans is None \
-            else jnp.asarray(sym_trans[oid])
+        return None if sym_trans is None else np.asarray(sym_trans[oid])
 
     def e_mssd(est, gt):
         oid = gt["obj_id"]
-        return float(mssd_fn(
-            jnp.asarray(est["R"]), jnp.asarray(est["t"]),
-            jnp.asarray(gt["R"]), jnp.asarray(gt["t"]),
-            jnp.asarray(models[oid]), jnp.asarray(sym_rots[oid]),
-            sym_trans=_st(oid)))
+        return mssd_np(
+            np.asarray(est["R"]), np.asarray(est["t"]),
+            np.asarray(gt["R"]), np.asarray(gt["t"]),
+            np.asarray(models[oid]), np.asarray(sym_rots[oid]),
+            sym_trans=_st(oid))
 
     def e_mspd(est, gt):
         oid = gt["obj_id"]
-        return float(mspd_fn(
-            jnp.asarray(est["R"]), jnp.asarray(est["t"]),
-            jnp.asarray(gt["R"]), jnp.asarray(gt["t"]),
-            jnp.asarray(models[oid]), jnp.asarray(sym_rots[oid]),
-            jnp.asarray(gt["K"]), sym_trans=_st(oid)))
+        return mspd_np(
+            np.asarray(est["R"]), np.asarray(est["t"]),
+            np.asarray(gt["R"]), np.asarray(gt["t"]),
+            np.asarray(models[oid]), np.asarray(sym_rots[oid]),
+            np.asarray(gt["K"]), sym_trans=_st(oid))
 
     # attach diameters for normalized thresholds
     for gt_list in gts.values():

@@ -13,11 +13,14 @@ gdrn_evaluator.py:128-185, becomes the bottleneck past ~2k poses/s).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("rdpn6d")
 
 from ..geometry import closest_rot
 from .pose_error import add, adi, proj_2d, re_deg, te
@@ -118,7 +121,15 @@ class PoseEvaluator:
         # failure rows, or the MEAN silently skips it
         pred_objs = set(allp["obj"].tolist()) if allp is not None else set()
         objs = pred_objs | (set(self.n_gts) if self.n_gts else set())
-        for obj in sorted(objs, key=list(self.models).index):
+        # models order, unknown names last alphabetically: a prediction
+        # for an object outside self.models must not throw away a whole
+        # completed inference pass at scoring time
+        order = {o: i for i, o in enumerate(self.models)}
+        unknown = sorted(o for o in objs if o not in order)
+        if unknown:
+            logger.warning(f"objects without eval models (skipping "
+                           f"error computation for them): {unknown}")
+        for obj in sorted(objs & set(order), key=order.__getitem__):
             m = (allp["obj"] == obj) if allp is not None \
                 else np.zeros(0, bool)
             n_pred = int(m.sum())

@@ -172,9 +172,9 @@ def log_map(rot: jax.Array, eps: float = 1e-12) -> jax.Array:
     well-conditioned at angle = pi where the skew-part formulation
     (R - R^T -> 0) collapses a half-turn to the zero vector.
     """
+    # mat_to_quat canonicalizes w >= 0, so the angle already lands in
+    # [0, pi] — no hemisphere flip needed here
     q = mat_to_quat(rot)
-    # canonical hemisphere so the angle lands in [0, pi]
-    q = q * jnp.sign(jnp.where(q[..., :1] == 0.0, 1.0, q[..., :1]))
     v = q[..., 1:]
     vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
     angle = 2.0 * jnp.arctan2(vn[..., 0], q[..., 0])

@@ -89,10 +89,17 @@ def pad_symmetries(sym_list: list[np.ndarray | None],
     banks = [np.eye(3, dtype=np.float32)[None] if s is None or len(s) == 0
              else np.asarray(s, dtype=np.float32) for s in sym_list]
     K = max_syms or max(b.shape[0] for b in banks)
+    biggest = max(b.shape[0] for b in banks)
+    if biggest > K:
+        # silently dropping symmetry elements would make closest_rot pick
+        # a suboptimal equivalent and quietly inflate PM/MSSD/MSPD
+        raise ValueError(
+            f"max_syms={K} truncates a symmetry bank of {biggest} "
+            "rotations — raise max_syms (or pass None to size "
+            "automatically)")
     out = np.tile(np.eye(3, dtype=np.float32), (len(banks), K, 1, 1))
     for i, b in enumerate(banks):
-        k = min(b.shape[0], K)
-        out[i, :k] = b[:k]
+        out[i, :b.shape[0]] = b
     return out
 
 
@@ -103,10 +110,14 @@ def pad_sym_trans(trans_list: list[np.ndarray | None],
     banks = [np.zeros((1, 3), np.float32) if t is None or len(t) == 0
              else np.asarray(t, dtype=np.float32) for t in trans_list]
     K = max_syms or max(b.shape[0] for b in banks)
+    biggest = max(b.shape[0] for b in banks)
+    if biggest > K:
+        raise ValueError(
+            f"max_syms={K} truncates a symmetry-translation bank of "
+            f"{biggest} entries — must match pad_symmetries sizing")
     out = np.zeros((len(banks), K, 3), np.float32)
     for i, b in enumerate(banks):
-        k = min(b.shape[0], K)
-        out[i, :k] = b[:k]
+        out[i, :b.shape[0]] = b
     return out
 
 

@@ -28,10 +28,15 @@ def xyz_to_region(xyz: jax.Array, fps_points: jax.Array
              delta [..., H, W, 3] = xyz - fps[nearest]).
     """
     mask = (xyz[..., 0] != 0) | (xyz[..., 1] != 0) | (xyz[..., 2] != 0)
-    # squared distances [..., H, W, K] via |a|^2 - 2 a.b + |b|^2
+    # squared distances [..., H, W, K] via |a|^2 - 2 a.b + |b|^2.
+    # precision="highest": this produces TRAINING LABELS — at the default
+    # TPU matmul precision the cross term rounds inputs to bf16, and
+    # pixels whose two nearest keypoints differ by less than the rounding
+    # error get a different region id than the reference's exact cdist
     d = (
         jnp.sum(xyz * xyz, axis=-1, keepdims=True)
-        - 2.0 * jnp.einsum("...hwc,...kc->...hwk", xyz, fps_points)
+        - 2.0 * jnp.einsum("...hwc,...kc->...hwk", xyz, fps_points,
+                           precision="highest")
         + jnp.sum(fps_points * fps_points, axis=-1)[..., None, None, :]
     )
     nearest = jnp.argmin(d, axis=-1)  # [..., H, W]
@@ -62,7 +67,9 @@ def residual_coord_target(
     (reference data_loader.py:881-903).
     """
     region, delta = xyz_to_region(xyz, fps_points)
-    rotated = jnp.einsum("...ij,...hwj->...hwi", rot_gt, delta)
+    # label-producing rotation: keep it exact (see xyz_to_region)
+    rotated = jnp.einsum("...ij,...hwj->...hwi", rot_gt, delta,
+                         precision="highest")
     coord = rotated / extent[..., None, None, :] + 0.5
     return region, coord
 

@@ -106,3 +106,42 @@ def test_mssd_respects_symmetry_translation():
     without_t = float(mssd(R_est, t_est, R_gt, t_gt, pts, sym_rots))
     assert with_t < 1e-6
     assert without_t > 0.01  # dropping S_t mis-places by ~2 cm
+
+
+def test_numpy_twins_match_jax_mssd_mspd():
+    """bop_score's host-side per-pair scorers must equal the batched jax
+    versions (same symmetry-translation handling)."""
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.evaluation.bop_errors import (
+        mspd, mspd_np, mssd, mssd_np)
+
+    rng = np.random.RandomState(3)
+    pts = rng.rand(50, 3).astype(np.float64) * 0.1
+    K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+
+    def rot(v):
+        import cv2
+        return cv2.Rodrigues(np.asarray(v, np.float64))[0]
+
+    R_est, R_gt = rot([0.1, -0.2, 0.3]), rot([0.15, -0.1, 0.25])
+    t_est = np.array([0.02, -0.01, 0.6])
+    t_gt = np.array([0.0, 0.0, 0.62])
+    sym_rots = np.stack([np.eye(3), rot([0, 0, np.pi])])
+    sym_trans = np.array([[0.0, 0, 0], [0.01, -0.005, 0.002]])
+
+    for st in (None, sym_trans):
+        a = mssd_np(R_est, t_est, R_gt, t_gt, pts, sym_rots, sym_trans=st)
+        b = float(mssd(jnp.asarray(R_est), jnp.asarray(t_est),
+                       jnp.asarray(R_gt), jnp.asarray(t_gt),
+                       jnp.asarray(pts), jnp.asarray(sym_rots),
+                       sym_trans=None if st is None else jnp.asarray(st)))
+        assert abs(a - b) < 1e-5, (a, b, st is None)
+        c = mspd_np(R_est, t_est, R_gt, t_gt, pts, sym_rots, K,
+                    sym_trans=st)
+        d = float(mspd(jnp.asarray(R_est), jnp.asarray(t_est),
+                       jnp.asarray(R_gt), jnp.asarray(t_gt),
+                       jnp.asarray(pts), jnp.asarray(sym_rots),
+                       jnp.asarray(K),
+                       sym_trans=None if st is None else jnp.asarray(st)))
+        assert abs(c - d) < 1e-3, (c, d, st is None)

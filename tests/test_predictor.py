@@ -87,3 +87,38 @@ def test_predictor_int8_static_serving():
     assert np.abs(out_q[0]["t"] - out[0]["t"]).max() < 0.05
     np.testing.assert_allclose(out_q2[0]["t"], out_q[0]["t"], atol=1e-6)
     assert np.isfinite(out_q[0]["R"]).all()
+
+
+def test_predictor_restores_trainer_checkpoint(tmp_path):
+    """A trainer-saved checkpoint carries the FULL optimizer state tree;
+    the Predictor must restore it (round-3 fix: an optax.identity()
+    template made orbax raise a tree-structure mismatch on every real
+    checkpoint, so the deployment entry point could never serve one)."""
+    import jax
+
+    from rdpn6d_tpu.engine.checkpoint import CheckpointManager
+    from rdpn6d_tpu.models import RDPN, dummy_batch
+    from rdpn6d_tpu.parallel import create_train_state
+    from rdpn6d_tpu.solver import build_optimizer
+
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16", "solver.optimizer=ranger"])
+    model = RDPN(cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(7), dummy_batch(cfg, 2),
+                           train=False)
+    state = create_train_state(cfg, variables,
+                               build_optimizer(cfg, total_iters=10))
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(3, state)
+    mgr.wait() if hasattr(mgr, "wait") else None
+
+    assets = synthetic_class_assets(num_regions=4)
+    pred = Predictor(cfg, assets, ckpt_dir=ckpt_dir, batch_size=2,
+                     dtype=jnp.float32)
+    # served params are the checkpoint's, not random re-init
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(pred.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -111,6 +111,11 @@ def main():
                     for oid in assets.obj_ids},
             sym_rots={oid: assets.for_obj(oid)["sym_rots"]
                       for oid in assets.obj_ids},
+            # symmetries are full 4x4 transforms; dropping the translation
+            # part mis-places off-origin symmetry centers (run_eval passes
+            # it too — the rescore must match in-process scores)
+            sym_trans={oid: assets.for_obj(oid)["sym_trans"]
+                       for oid in assets.obj_ids},
             diameters={oid: float(assets.for_obj(oid)["diameter"])
                        or ref.diameter_m(oid) for oid in assets.obj_ids},
             im_width=ref.width)
