@@ -28,9 +28,14 @@ class CheckpointManager:
 
     def save(self, step: int, state: TrainState,
              extra: dict[str, Any] | None = None) -> None:
+        """Async by default: orbax serializes in a background thread and
+        the train loop keeps stepping (it blocks only if a previous save
+        is still in flight). Call :meth:`wait` before reading the files
+        back or exiting the process. The sidecar path waits because it
+        writes INTO the finalized step directory."""
         self._mgr.save(step, args=ocp.args.StandardSave({"state": state}))
-        self._mgr.wait_until_finished()
         if extra:
+            self._mgr.wait_until_finished()
             # free-form metadata as a sidecar (an orbax StandardRestore
             # template could not describe an unknown dict shape, so extra
             # inside the tree would break the restore round-trip)
@@ -39,6 +44,10 @@ class CheckpointManager:
             with open(os.path.join(self.directory, str(step),
                                    "extra.json"), "w") as f:
                 json.dump(extra, f)
+
+    def wait(self) -> None:
+        """Block until every in-flight async save is committed."""
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

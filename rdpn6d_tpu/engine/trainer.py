@@ -150,4 +150,7 @@ class Trainer:
             if eval_fn is not None and cfg.train.eval_period > 0 \
                     and (it + 1) % cfg.train.eval_period == 0:
                 eval_fn(self.state, it + 1)
+        # saves are async — commit the final checkpoint before returning
+        # (the CLI exits right after; a torn final save would lose it)
+        self.ckpt.wait()
         return self.state

@@ -19,9 +19,20 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
-def normalize(v: jax.Array, axis: int = -1, eps: float = _EPS) -> jax.Array:
-    """L2-normalize along ``axis`` with an epsilon guard."""
-    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """Scale-invariant L2 normalization (torch ``F.normalize`` result for
+    any non-degenerate input; exact zero maps to zero).
+
+    Direction is scale-free, so divide by max|component| BEFORE the norm:
+    the reference's tiny-init heads (normal std=0.001 through 3 convs +
+    2 fcs) emit raw rot params down at ~1e-10..1e-20 early in training,
+    where a direct f32 norm UNDERFLOWS under XLA's flush-to-zero and an
+    eps clamp then returns a visibly non-unit quaternion/column (R R^T
+    off by ~1e-2). The additive v/(||v||+1e-8) form was worse still."""
+    m = jnp.max(jnp.abs(v), axis=axis, keepdims=True)
+    vs = v / jnp.maximum(m, eps)
+    return vs / jnp.maximum(jnp.linalg.norm(vs, axis=axis, keepdims=True),
+                            eps)
 
 
 # ---------------------------------------------------------------------------
@@ -183,10 +194,15 @@ def log_map(rot: jax.Array, eps: float = 1e-12) -> jax.Array:
 
 
 def exp_map(vec: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """SO(3) exp: axis-angle vector [..., 3] -> [..., 3, 3]."""
+    """SO(3) exp: axis-angle vector [..., 3] -> [..., 3, 3].
+
+    Axis via the scale-invariant :func:`normalize`: the additive
+    vec/(angle+eps) form returns a ~0.5-length axis when ||vec|| ~ eps
+    (tiny-init PnP heads emit exactly that early in training), and
+    axangle_to_mat with a non-unit axis is not a rotation."""
+    del eps
     angle = jnp.linalg.norm(vec, axis=-1)
-    axis = vec / (angle[..., None] + eps)
-    return axangle_to_mat(axis, angle)
+    return axangle_to_mat(normalize(vec), angle)
 
 
 # ---------------------------------------------------------------------------

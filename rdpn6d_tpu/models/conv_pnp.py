@@ -20,17 +20,19 @@ from flax import linen as nn
 def dropblock(x: jax.Array, key: jax.Array, drop_prob,
               block_size: int = 5) -> jax.Array:
     """DropBlock regularization: zero contiguous block_size^2 spatial
-    patches and rescale by the keep rate (the reference vendors
-    DropBlock2D, core/utils/dropblock/dropblock.py; applied once on the
-    PnP input map, conv_pnp_net.py:144-146)."""
+    patches (reference vendored DropBlock2D,
+    core/utils/dropblock/dropblock.py:33-77; applied once on the PnP
+    input map, conv_pnp_net.py:144-146). Matches the vendored variant,
+    NOT the paper: gamma = drop_prob / block_size^2 with no
+    edge-correction factor (:76-77), and the rescale is BATCH-GLOBAL
+    (numel / mask.sum(), :57) rather than per-sample."""
     B, H, W, _ = x.shape
-    gamma = (drop_prob / block_size ** 2 * (H * W)
-             / ((H - block_size + 1) * (W - block_size + 1)))
+    gamma = drop_prob / block_size ** 2
     seeds = jax.random.bernoulli(key, gamma, (B, H, W, 1)).astype(x.dtype)
     block = nn.max_pool(seeds, (block_size, block_size), strides=(1, 1),
                         padding="SAME")
     mask = 1.0 - block
-    keep = jnp.mean(mask, axis=(1, 2, 3), keepdims=True)
+    keep = jnp.mean(mask)  # batch-global keep rate (dropblock.py:57)
     return x * mask / jnp.maximum(keep, 1e-6)
 
 
@@ -49,16 +51,20 @@ class ConvPnPNet(nn.Module):
 
     @nn.compact
     def __call__(self, coord_feat, region=None, extents=None,
-                 mask_attention=None, train: bool = False,
-                 drop_scale=1.0):
+                 mask_attention=None, mask_concat=None,
+                 train: bool = False, drop_scale=1.0):
         """coord_feat [B, 64, 64, C]; region [B, 64, 64, K] softmax;
-        extents [B, 3]; mask_attention [B, 64, 64, 1].
+        extents [B, 3]; mask_attention [B, 64, 64, 1] ("mul" mode);
+        mask_concat [B, 64, 64, 1] ("concat" mode — appended AFTER
+        region, matching the reference's [coor_feat, region, mask]
+        channel order, conv_pnp_net.py:128-138).
 
         Returns (rot_param [B, rot_dim], trans_param [B, 3]).
         """
         x = coord_feat
         # The reference denormalizes only for bare coord assemblies
-        # (in_c in {3,5,6,8}, conv_pnp_net.py:125-127); richer assemblies
+        # (in_c in {3,5,6,8}, conv_pnp_net.py:125-127, judged on
+        # coor_feat BEFORE region/mask concat); richer assemblies
         # (e.g. 11 = coords+coord2d+region_fps) stay in normalized space.
         if self.denorm_coords_by_extent and x.shape[-1] in (3, 5, 6, 8):
             assert extents is not None
@@ -68,6 +74,8 @@ class ConvPnPNet(nn.Module):
             x = jnp.concatenate([x, region], axis=-1)
         if mask_attention is not None:
             x = x * mask_attention  # "mul" attention (conv_pnp_net.py:134-137)
+        if mask_concat is not None:
+            x = jnp.concatenate([x, mask_concat], axis=-1)
 
         if train and self.drop_prob > 0:
             # linear 0->drop_prob ramp comes in as drop_scale (the
@@ -78,10 +86,15 @@ class ConvPnPNet(nn.Module):
                           self.drop_block_size)
 
         x = x.astype(self.dtype)
+        # reference init parity: all ConvPnPNet convs and fc1/fc2 use the
+        # deliberate tiny normal(std=0.001) init; only fc_r/fc_t use 0.01
+        # (conv_pnp_net.py:104-114)
+        init001 = nn.initializers.normal(0.001)
         for i in range(self.num_layers):
             stride = 2 if i < 3 else 1  # 64 -> 8 over the first three convs
             x = nn.Conv(self.featdim, (3, 3), strides=(stride, stride),
-                        padding=1, use_bias=False, dtype=self.dtype)(x)
+                        padding=1, use_bias=False, kernel_init=init001,
+                        dtype=self.dtype)(x)
             if self.norm == "GN":
                 x = nn.GroupNorm(num_groups=self.gn_groups, dtype=self.dtype,
                                  param_dtype=jnp.float32)(x)
@@ -91,8 +104,10 @@ class ConvPnPNet(nn.Module):
             x = nn.relu(x)
 
         x = x.reshape(x.shape[0], -1)  # [B, 8*8*featdim]
-        x = nn.leaky_relu(nn.Dense(self.fc1_dim, dtype=self.dtype)(x), 0.1)
-        x = nn.leaky_relu(nn.Dense(self.fc2_dim, dtype=self.dtype)(x), 0.1)
+        x = nn.leaky_relu(nn.Dense(self.fc1_dim, kernel_init=init001,
+                                   dtype=self.dtype)(x), 0.1)
+        x = nn.leaky_relu(nn.Dense(self.fc2_dim, kernel_init=init001,
+                                   dtype=self.dtype)(x), 0.1)
         rot = nn.Dense(self.rot_dim, dtype=self.dtype,
                        kernel_init=nn.initializers.normal(0.01))(x)
         t = nn.Dense(3, dtype=self.dtype,

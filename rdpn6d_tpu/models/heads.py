@@ -57,9 +57,14 @@ class DenseHead(nn.Module):
         # (A 4-phase matmul decomposition — TorchConvTranspose2x — was
         # benchmarked at -10% throughput: XLA already lowers this convT
         # without materializing the zero-dilated input.)
+        # from-scratch init parity: the reference head initializes every
+        # conv/deconv with normal(std=0.001) — the deliberate CDPN
+        # tiny-init (cdpn_rot_head_region.py:140-146), ~10-20x smaller
+        # than flax's lecun_normal default
+        init001 = nn.initializers.normal(0.001)
         x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
                              padding=((1, 2), (1, 2)), use_bias=False,
-                             transpose_kernel=True,
+                             transpose_kernel=True, kernel_init=init001,
                              dtype=self.dtype)(x)
         x = _make_norm(self.norm, self.gn_groups, train, self.dtype)(x)
         x = nn.relu(x)
@@ -73,14 +78,14 @@ class DenseHead(nn.Module):
                     x, x.shape[1] * 2, x.shape[2] * 2)
             for _ in range(2):
                 x = conv(self.num_filters, (3, 3), padding=1,
-                         use_bias=False)(x)
+                         use_bias=False, kernel_init=init001)(x)
                 x = _make_norm(self.norm, self.gn_groups, train,
                                self.dtype)(x)
                 x = nn.relu(x)
         # output logits conv stays bf16/f32 regardless of int8 mode; name
         # continues the body sequence so the param tree matches exactly
         out = nn.Conv(self.mask_dim + self.coord_dim + self.region_dim,
-                      (1, 1), dtype=self.dtype,
+                      (1, 1), dtype=self.dtype, kernel_init=init001,
                       name=f"Conv_{2 * self.num_layers}")(x)
         out = out.astype(jnp.float32)  # logits in f32 for stable losses
         mask = out[..., : self.mask_dim]
@@ -101,12 +106,17 @@ class TransHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # reference TransHeadNet tiny-init parity (cdpn_trans_head.py:45-53)
+        init001 = nn.initializers.normal(0.001)
         for _ in range(self.num_layers):
             x = nn.Conv(self.num_filters, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype)(x)
+                        kernel_init=init001, dtype=self.dtype)(x)
             x = _make_norm(self.norm, self.gn_groups, train, self.dtype)(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype)(x))
-        return nn.Dense(3, dtype=self.dtype)(x).astype(jnp.float32)
+        x = nn.relu(nn.Dense(4096, kernel_init=init001,
+                             dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(4096, kernel_init=init001,
+                             dtype=self.dtype)(x))
+        return nn.Dense(3, kernel_init=init001,
+                        dtype=self.dtype)(x).astype(jnp.float32)

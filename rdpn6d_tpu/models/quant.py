@@ -62,12 +62,13 @@ class Int8Conv(nn.Module):
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
     static_act: bool = False
+    kernel_init: Any = None         # None -> lecun_normal (nn.Conv default)
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", self.kernel_init or nn.initializers.lecun_normal(),
             (kh, kw, x.shape[-1], self.features), jnp.float32)
         pad = self.padding
         if isinstance(pad, int):
@@ -125,7 +126,8 @@ def conv_factory(int8: bool, dtype, static_act: bool = False):
     counter = [0]
 
     def make(features, kernel_size, strides=(1, 1), padding="SAME",
-             use_bias=False, dtype=dtype, name=None, force_fp=False):
+             use_bias=False, dtype=dtype, name=None, force_fp=False,
+             kernel_init=None):
         if name is None:
             # only unnamed convs consume the auto-name cursor, matching
             # flax's own autonaming (an explicitly named module does not
@@ -135,10 +137,12 @@ def conv_factory(int8: bool, dtype, static_act: bool = False):
         if int8 and not force_fp:
             return Int8Conv(features, kernel_size, strides=strides,
                             padding=padding, use_bias=use_bias, dtype=dtype,
-                            static_act=static_act, name=name)
+                            static_act=static_act, name=name,
+                            kernel_init=kernel_init)
+        kw = {} if kernel_init is None else {"kernel_init": kernel_init}
         return nn.Conv(features, kernel_size, strides=strides,
                        padding=padding, use_bias=use_bias, dtype=dtype,
-                       name=name)
+                       name=name, **kw)
 
     return make
 

@@ -160,13 +160,14 @@ class RDPN(nn.Module):
 
         coord_feat = jnp.concatenate(feats, axis=-1)
 
-        mask_atten = None
+        mask_atten = mask_concat = None
         if pnp_cfg.mask_attention == "mul":
             mask_atten = _mask_prob(mask_logits, head_cfg.mask_loss)
         elif pnp_cfg.mask_attention == "concat":
-            coord_feat = jnp.concatenate(
-                [coord_feat, _mask_prob(mask_logits, head_cfg.mask_loss)],
-                axis=-1)
+            # appended INSIDE the PnP net after region, preserving the
+            # reference's [coor_feat, region, mask] channel order (a
+            # pre-concat here would permute converted-checkpoint weights)
+            mask_concat = _mask_prob(mask_logits, head_cfg.mask_loss)
 
         region_atten = jax.nn.softmax(region_logits[..., 1:], axis=-1) \
             if pnp_cfg.region_attention else None
@@ -190,6 +191,11 @@ class RDPN(nn.Module):
             raise ValueError(pnp_cfg.pnp_head)
         pnp_kwargs = {"drop_scale": drop_scale} \
             if pnp_cfg.pnp_head == "ConvPnPNet" else {}
+        if pnp_cfg.pnp_head == "ConvPnPNet":
+            pnp_kwargs["mask_concat"] = mask_concat
+        elif mask_concat is not None:
+            # point heads have no spatial concat slot; fold via channels
+            coord_feat = jnp.concatenate([coord_feat, mask_concat], -1)
         rot_param, t_param = pnp_net(
             coord_feat, region=region_atten, extents=batch["roi_extent"],
             mask_attention=mask_atten, train=train, **pnp_kwargs)

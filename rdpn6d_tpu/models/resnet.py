@@ -98,12 +98,13 @@ class ResNetTrunk(nn.Module):
         block: Callable = BasicBlock if block_kind == "basic" else Bottleneck
         conv = conv_factory(self.int8, self.dtype, self.int8_static)
 
-        # the stem stays full precision under int8: its input mixes 8-bit
-        # RGB with metric depth-XYZ coordinates whose dynamic ranges differ
-        # by orders of magnitude, so ONE per-tensor activation scale
-        # destroys the depth signal — and at 7x7x6->64 the stem is a
-        # negligible FLOPs fraction (keep-first-layer-fp, standard W8A8
-        # practice)
+        # the stem stays full precision under int8 (keep-first-layer-fp,
+        # standard W8A8 practice): quantizing the raw normalized-RGB input
+        # costs disproportionate signal for a 7x7x3->64 conv that is a
+        # negligible FLOPs fraction. (NOTE the trunk consumes ONLY the RGB
+        # half of roi_img — depth-XYZ joins later at SpatialPointNet,
+        # whose metric-coordinate inputs are the real mixed-dynamic-range
+        # hazard if its 1x1 convs are ever quantized.)
         x = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                  force_fp=True)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -26,7 +26,15 @@ import optax
 
 
 def centralize_gradients() -> optax.GradientTransformation:
-    """Per-filter mean subtraction for params with ndim > 1."""
+    """Per-output-filter mean subtraction for params with ndim > 1.
+
+    The reference centralizes over every dim but the OUTPUT-channel axis
+    (torch layouts put it FIRST: Conv OIHW / Linear (out, in), so it
+    reduces dims 1..n — ranger.py:144-145). Flax layouts put the output
+    axis LAST (Conv HWIO / Dense (in, out)), so the equivalent reduction
+    is over dims 0..n-1; reducing 1..n here would subtract a per-input-
+    row mean instead — a silently different regularizer.
+    """
 
     def init_fn(params):
         del params
@@ -37,7 +45,7 @@ def centralize_gradients() -> optax.GradientTransformation:
 
         def gc(g):
             if g.ndim > 1:
-                axes = tuple(range(1, g.ndim))
+                axes = tuple(range(g.ndim - 1))
                 return g - jnp.mean(g, axis=axes, keepdims=True)
             return g
 

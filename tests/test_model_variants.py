@@ -84,12 +84,13 @@ def test_dropblock_function():
     assert y.shape == x.shape
     zero_frac = float((y == 0).mean())
     assert 0.05 < zero_frac < 0.9  # something actually dropped
-    # kept entries are rescaled identically WITHIN each sample, and the
-    # rescale preserves the per-sample mean (E[y] == E[x] exactly for ones)
-    for b in range(2):
-        kept = y[b][y[b] > 0]
-        assert np.allclose(kept, kept[0])
-        assert abs(y[b].mean() - 1.0) < 1e-5
+    # reference-vendored semantics (dropblock.py:57): ONE batch-global
+    # rescale numel/sum — kept entries share a single scale across the
+    # whole batch and the BATCH mean is preserved exactly for ones input
+    # (per-sample means are NOT preserved; that was the round-3 parity fix)
+    kept = y[y > 0]
+    assert np.allclose(kept, kept[0])
+    assert abs(y.mean() - 1.0) < 1e-5
     # drop_prob 0 -> identity
     y0 = np.asarray(dropblock(x, jax.random.PRNGKey(0), 0.0, 5))
     np.testing.assert_allclose(y0, np.asarray(x))
@@ -162,3 +163,35 @@ def test_frozen_backbone_immune_to_weight_decay():
     new = optax.apply_updates(params, upd)
     np.testing.assert_array_equal(np.asarray(new["backbone"]["conv"]), 1.0)
     assert float(jnp.abs(new["pnp_net"]["fc"] - 1.0).max()) > 0
+
+
+def test_gradient_centralization_flax_layout():
+    """GC must subtract the per-OUTPUT-filter mean. Flax kernels are
+    HWIO / Dense (in, out) — output axis LAST — so the reduction runs
+    over dims 0..n-1 (the torch reference reduces 1..n on its
+    output-FIRST layouts, ranger.py:144-145). Reducing 1..n here was a
+    silently different regularizer (round-3 fix)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rdpn6d_tpu.solver.ranger import centralize_gradients
+
+    tx = centralize_gradients()
+    rng = np.random.RandomState(0)
+    g_conv = jnp.asarray(rng.rand(3, 3, 16, 8))    # HWIO
+    g_fc = jnp.asarray(rng.rand(16, 4))            # (in, out)
+    g_bias = jnp.asarray(rng.rand(8))              # untouched (ndim 1)
+    upd, _ = tx.update({"conv": g_conv, "fc": g_fc, "b": g_bias},
+                       tx.init(None))
+    # per-output-channel means are zero after GC...
+    np.testing.assert_allclose(
+        np.asarray(upd["conv"]).mean(axis=(0, 1, 2)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(upd["fc"]).mean(axis=0), 0.0, atol=1e-6)
+    # ...and equal the torch recipe applied to the transposed layout
+    torch_like = np.transpose(np.asarray(g_conv), (3, 2, 0, 1))  # OIHW
+    torch_gc = torch_like - torch_like.mean(axis=(1, 2, 3), keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(upd["conv"]),
+        np.transpose(torch_gc, (2, 3, 1, 0)), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(upd["b"]), np.asarray(g_bias))
