@@ -103,30 +103,36 @@ def load_class_assets(ref: DatasetRef, num_regions: int = 32,
                        vertex_scale=ref.vertex_scale)
         pts = ply["pts"].astype(np.float32)
         pts_l.append(sample_points(pts, num_pm_points))
+        # models_info values are in the MESH's native unit (mm for BOP):
+        # scale with the ref's vertex_scale exactly like the vertices —
+        # a hardcoded /1000 desyncs extents from points for custom
+        # datasets registered with vertex_scale != 0.001
+        scale = float(ref.vertex_scale)
         ext_l.append(np.array([mi["size_x"], mi["size_y"], mi["size_z"]],
-                              np.float32) / 1000.0)
+                              np.float32) * scale)
         if fps_pkl is not None and oid in fps_pkl:
             fps = fps_pkl[oid][:num_regions]
         else:
             fps = get_fps_and_center(pts, num_regions)[:-1]
         fps_l.append(fps.astype(np.float32))
         if "symmetries_discrete" in mi or "symmetries_continuous" in mi:
-            sym, sym_t = symmetry_transforms(mi, max_sym_disc_step)
+            sym, sym_t = symmetry_transforms(mi, max_sym_disc_step,
+                                             trans_scale=scale)
         else:
             sym, sym_t = None, None
         sym_l.append(sym)
         symt_l.append(sym_t)
-        dia_l.append(mi.get("diameter", 0.0) / 1000.0)
+        dia_l.append(mi.get("diameter", 0.0) * scale)
 
+    sym_bank = pad_symmetries(sym_l)
     return ClassAssets(
         obj_ids=obj_ids,
         full_cls_idx=[ref.obj_ids.index(oid) for oid in obj_ids],
         points=np.stack(pts_l),
         extents=np.stack(ext_l),
         fps_points=np.stack(fps_l),
-        sym_rots=pad_symmetries(sym_l),
-        sym_trans=pad_sym_trans(
-            symt_l, max_syms=pad_symmetries(sym_l).shape[1]),
+        sym_rots=sym_bank,
+        sym_trans=pad_sym_trans(symt_l, max_syms=sym_bank.shape[1]),
         diameters=np.asarray(dia_l, np.float32),
     )
 

@@ -77,12 +77,21 @@ def load_ply(path: str, vertex_scale: float = 1.0) -> dict[str, np.ndarray]:
             out["colors"] = np.stack([v["red"], v["green"], v["blue"]], -1)
         if "texture_u" in v:
             out["texture_uv"] = np.stack([v["texture_u"], v["texture_v"]], -1)
+    face_rows = None
     if "face" in data and "vertex_indices" in data["face"]:
-        out["faces"] = np.asarray(
-            [r[:3] for r in data["face"]["vertex_indices"]], np.int64)
+        face_rows = data["face"]["vertex_indices"]
     elif "face" in data and "vertex_index" in data["face"]:
-        out["faces"] = np.asarray(
-            [r[:3] for r in data["face"]["vertex_index"]], np.int64)
+        face_rows = data["face"]["vertex_index"]
+    if face_rows is not None:
+        # fan-triangulate polygon faces (CAD exports often store quads):
+        # truncating to r[:3] would silently punch one hole per quad into
+        # every VSD depth render and generated xyz crop. (The reference
+        # toolkit raises on non-triangles; a fan covers the same area.)
+        tris = []
+        for r in face_rows:
+            for k in range(1, len(r) - 1):
+                tris.append((r[0], r[k], r[k + 1]))
+        out["faces"] = np.asarray(tris, np.int64)
     return out
 
 

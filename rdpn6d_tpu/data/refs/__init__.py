@@ -97,14 +97,17 @@ class DatasetRef:
         placeholder (diameters_reliable=False) refuse to guess."""
         try:
             info = self.models_info()
-            return float(info[str(obj_id)]["diameter"]) / 1000.0
+            # models_info is in the mesh's native unit (mm for BOP);
+            # vertex_scale converts to meters for custom datasets too
+            return float(info[str(obj_id)]["diameter"]) * self.vertex_scale
         except (FileNotFoundError, KeyError):
             if not self.diameters_reliable:
                 raise RuntimeError(
                     f"{self.name}: no models_info.json and the built-in "
                     f"diameter table is a placeholder; provide "
                     f"{self.model_dir}/models_info.json")
-            return self.diameters_mm[self.obj_ids.index(obj_id)] / 1000.0
+            return self.diameters_mm[self.obj_ids.index(obj_id)] \
+                * self.vertex_scale
 
     # asset accessors ---------------------------------------------------
     def models_info(self) -> dict[str, Any]:

@@ -12,30 +12,29 @@ import json
 import logging
 import os
 import time
-from collections import defaultdict, deque
 from typing import Any
 
 logger = logging.getLogger("rdpn6d")
 
 
 class MetricBuffer:
-    """Rolling latest-sample store (EventStorage's storage role; medians
-    are deliberately NOT offered — samples arrive only at log events, so
-    a window median would lag by window*log_period iterations)."""
+    """Latest-sample store (EventStorage's storage role; medians are
+    deliberately NOT offered — samples arrive only at log events, so a
+    window median would lag by window*log_period iterations; and only
+    the latest value is read, so no history is kept either)."""
 
-    def __init__(self, window: int = 20):
-        self._hist: dict[str, deque] = defaultdict(
-            lambda: deque(maxlen=window))
+    def __init__(self):
+        self._last: dict[str, float] = {}
 
     def update(self, metrics: dict[str, float]) -> None:
         for k, v in metrics.items():
-            self._hist[k].append(float(v))
+            self._last[k] = float(v)
 
     def latest(self, key: str) -> float:
-        return self._hist[key][-1] if self._hist[key] else 0.0
+        return self._last.get(key, 0.0)
 
     def keys(self):
-        return self._hist.keys()
+        return self._last.keys()
 
 
 class ConsoleWriter:

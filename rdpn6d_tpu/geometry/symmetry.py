@@ -23,12 +23,15 @@ from .rotations import angular_distance
 
 
 def symmetry_transforms(model_info: dict[str, Any],
-                        max_sym_disc_step: float = 0.01
+                        max_sym_disc_step: float = 0.01,
+                        trans_scale: float = 1e-3
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Discrete + discretized-continuous symmetry TRANSFORMS for one model.
 
     model_info follows BOP models_info.json keys: ``symmetries_discrete``
-    (flattened 4x4 row-major, translation in MM) and
+    (flattened 4x4 row-major, translation in the mesh's native unit
+    -- MM for BOP; ``trans_scale`` converts to meters, pass the dataset's
+    ``vertex_scale``) and
     ``symmetries_continuous`` ({axis, offset}). Mirrors the BOP toolkit's
     ``misc.get_symmetry_transformations`` (lib/pysixd/misc.py:206-254),
     with the identity-continuous element re-added so the plain discrete
@@ -38,14 +41,14 @@ def symmetry_transforms(model_info: dict[str, Any],
     disc = [(np.eye(3, dtype=np.float64), np.zeros(3))]
     for sym in model_info.get("symmetries_discrete", []):
         m = np.reshape(np.asarray(sym, dtype=np.float64), (4, 4))
-        disc.append((m[:3, :3], m[:3, 3] / 1000.0))
+        disc.append((m[:3, :3], m[:3, 3] * trans_scale))
 
     cont = []
     for sym in model_info.get("symmetries_continuous", []):
         axis = np.asarray(sym["axis"], dtype=np.float64)
         axis = axis / np.linalg.norm(axis)
         offset = np.asarray(sym.get("offset", (0, 0, 0)),
-                            dtype=np.float64).reshape(3) / 1000.0
+                            dtype=np.float64).reshape(3) * trans_scale
         n_steps = int(math.ceil(math.pi / max_sym_disc_step))
         step = 2.0 * math.pi / n_steps
         for i in range(1, n_steps):

@@ -41,10 +41,18 @@ def _load_native():
                                   os.path.getmtime(src)
                                   > os.path.getmtime(so)):
         # (re)build when missing OR the source is newer than the binary
+        import logging
         import subprocess
 
-        subprocess.run(["make", "-C", os.path.dirname(so), "-B"],
-                       check=False, capture_output=True)
+        try:
+            proc = subprocess.run(["make", "-C", os.path.dirname(so), "-B"],
+                                  check=False, capture_output=True, text=True)
+            if proc.returncode != 0:
+                logging.getLogger("rdpn6d").warning(
+                    "fps native build failed:\n%s", proc.stderr[-2000:])
+        except FileNotFoundError:
+            # no `make` on this machine: the numpy fallback covers it
+            pass
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
@@ -80,6 +88,12 @@ def fps_jax(points: jax.Array, num_samples: int,
 
     d0 = jnp.sum((points - center) ** 2, axis=-1)
     min_dist = jnp.where(valid_mask, d0, -big)
+
+    # invalid points sit at -inf, exhausted VALID points at -big: when
+    # num_samples exceeds the valid count, argmax ties resolve among
+    # valid (already-selected) points — never onto padding coordinates
+    neg_inf = -jnp.asarray(jnp.inf, points.dtype)
+    min_dist = jnp.where(valid_mask, min_dist, neg_inf)
 
     def body(i, carry):
         min_dist, idxs = carry
@@ -156,7 +170,13 @@ def get_fps_and_center(points: np.ndarray, num_fps: int,
     Mirrors the reference's ``get_fps_and_center`` (data_utils.py:217-228):
     the appended point is the MEAN of the vertices, not the bbox center.
     """
-    fn = {"native": fps_native, "numpy": fps_numpy}.get(backend, fps_numpy)
+    backends = {"native": fps_native, "numpy": fps_numpy}
+    if backend not in backends:
+        # a silent numpy fallback would mask a typo as a many-seconds-
+        # per-object slowdown on large meshes
+        raise ValueError(f"unknown fps backend {backend!r} "
+                         f"(choose from {sorted(backends)})")
+    fn = backends[backend]
     idx = fn(points, num_fps)
     return np.concatenate(
         [np.asarray(points)[idx],

@@ -23,6 +23,11 @@ def pnp_ransac(points_3d: np.ndarray, points_2d: np.ndarray,
 
     p3 = np.ascontiguousarray(points_3d, np.float64).reshape(-1, 1, 3)
     p2 = np.ascontiguousarray(points_2d, np.float64).reshape(-1, 1, 2)
+    if p3.shape[0] < 4:
+        # a tiny/empty predicted mask legitimately yields <4 points;
+        # cv2.solvePnP* would throw — return the documented identity
+        # fallback instead of crashing the evaluator
+        return np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
     dist = np.zeros((8, 1))
     if method == "iterative":
         ok, rvec, tvec = cv2.solvePnP(p3, p2, K.astype(np.float64), dist,
@@ -44,7 +49,7 @@ def pnp_ransac(points_3d: np.ndarray, points_2d: np.ndarray,
             if ok2:
                 rvec, tvec = rvec2, tvec2
     if not ok:
-        return np.eye(3), np.zeros(3)
+        return np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
     R = cv2.Rodrigues(rvec)[0]
     return R.astype(np.float32), tvec.reshape(3).astype(np.float32)
 

@@ -25,17 +25,25 @@ def _load():
                                       "csrc", "rasterizer",
                                       "librasterizer.so"))
     src = os.path.join(os.path.dirname(so), "rasterizer.cpp")
+    build_err = ""
     if not os.path.exists(so) or (os.path.exists(src) and
                                   os.path.getmtime(src)
                                   > os.path.getmtime(so)):
         # (re)build when missing OR the source is newer than the binary
         import subprocess
 
-        subprocess.run(["make", "-C", os.path.dirname(so), "-B"],
-                       check=False, capture_output=True)
+        try:
+            proc = subprocess.run(["make", "-C", os.path.dirname(so), "-B"],
+                                  check=False, capture_output=True, text=True)
+            if proc.returncode != 0:
+                build_err = proc.stderr[-2000:]
+        except FileNotFoundError:
+            build_err = "`make` not found on this machine"
     if not os.path.exists(so):
         raise RuntimeError(
-            f"rasterizer library not built; run: make -C {os.path.dirname(so)}")
+            f"rasterizer library not built; run: make -C "
+            f"{os.path.dirname(so)}"
+            + (f"\nbuild error:\n{build_err}" if build_err else ""))
     lib = ctypes.CDLL(so)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int)
