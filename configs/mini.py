@@ -22,6 +22,9 @@ def get_config() -> Config:
         "solver.total_epochs=120",
         "solver.warmup_iters=100",
         "loss.pm_loss_sym=true",
+        # short-horizon run (~1-2k iters): the reference tiny-init leaves
+        # gradients too small to learn rotation this fast (config.py)
+        'head.init="fan_in"',
         'test.error_types="ad,adi,AUCad,re,te,proj,vsd,mssd,mspd"',
         'train.output_dir="output/mini"',
     ])

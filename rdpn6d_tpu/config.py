@@ -53,6 +53,15 @@ class HeadConfig:
     rot_class_aware: bool = False
     mask_class_aware: bool = False
     region_class_aware: bool = False
+    # weight init for the dense head AND the PnP net:
+    #  "reference" = CDPN tiny normal(std=0.001) everywhere (the
+    #    reference's deliberate choice, cdpn_rot_head_region.py:140-146,
+    #    conv_pnp_net.py:104-113) — right for full-length training runs;
+    #  "fan_in" = flax lecun_normal — converges ~10x faster on short
+    #    horizons (overfit gates, mini-BOP rehearsals), where tiny init
+    #    leaves gradients too small to learn rotation in a few hundred
+    #    iterations
+    init: str = "reference"         # reference | fan_in
 
     @property
     def coord_dim(self) -> int:

@@ -48,6 +48,7 @@ class ConvPnPNet(nn.Module):
     drop_prob: float = 0.0          # DropBlock on the input feature map
     drop_block_size: int = 5
     dtype: Any = jnp.float32
+    init: str = "reference"         # reference tiny-init | fan_in (config.py)
 
     @nn.compact
     def __call__(self, coord_feat, region=None, extents=None,
@@ -86,10 +87,12 @@ class ConvPnPNet(nn.Module):
                           self.drop_block_size)
 
         x = x.astype(self.dtype)
-        # reference init parity: all ConvPnPNet convs and fc1/fc2 use the
-        # deliberate tiny normal(std=0.001) init; only fc_r/fc_t use 0.01
-        # (conv_pnp_net.py:104-114)
-        init001 = nn.initializers.normal(0.001)
+        # "reference": all ConvPnPNet convs and fc1/fc2 use the deliberate
+        # tiny normal(std=0.001) init, only fc_r/fc_t use 0.01
+        # (conv_pnp_net.py:104-114); "fan_in": lecun_normal for
+        # short-horizon rigs (config.HeadConfig.init)
+        init001 = nn.initializers.normal(0.001) if self.init == "reference" \
+            else nn.initializers.lecun_normal()
         for i in range(self.num_layers):
             stride = 2 if i < 3 else 1  # 64 -> 8 over the first three convs
             x = nn.Conv(self.featdim, (3, 3), strides=(stride, stride),

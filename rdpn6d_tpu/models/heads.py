@@ -43,6 +43,7 @@ class DenseHead(nn.Module):
     dtype: Any = jnp.float32
     int8: bool = False              # quantize the body convs (models/quant.py)
     int8_static: bool = False       # calibrated static activation scales
+    init: str = "reference"         # reference tiny-init | fan_in (config.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, skip64=None):
@@ -57,11 +58,11 @@ class DenseHead(nn.Module):
         # (A 4-phase matmul decomposition — TorchConvTranspose2x — was
         # benchmarked at -10% throughput: XLA already lowers this convT
         # without materializing the zero-dilated input.)
-        # from-scratch init parity: the reference head initializes every
-        # conv/deconv with normal(std=0.001) — the deliberate CDPN
-        # tiny-init (cdpn_rot_head_region.py:140-146), ~10-20x smaller
-        # than flax's lecun_normal default
-        init001 = nn.initializers.normal(0.001)
+        # from-scratch init: "reference" = the CDPN tiny normal(0.001)
+        # everywhere (cdpn_rot_head_region.py:140-146); "fan_in" =
+        # lecun_normal for short-horizon rigs (see config.HeadConfig.init)
+        init001 = nn.initializers.normal(0.001) if self.init == "reference" \
+            else nn.initializers.lecun_normal()
         x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
                              padding=((1, 2), (1, 2)), use_bias=False,
                              transpose_kernel=True, kernel_init=init001,
@@ -103,11 +104,13 @@ class TransHead(nn.Module):
     norm: str = "BN"
     gn_groups: int = 32
     dtype: Any = jnp.float32
+    init: str = "reference"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # reference TransHeadNet tiny-init parity (cdpn_trans_head.py:45-53)
-        init001 = nn.initializers.normal(0.001)
+        init001 = nn.initializers.normal(0.001) if self.init == "reference" \
+            else nn.initializers.lecun_normal()
         for _ in range(self.num_layers):
             x = nn.Conv(self.num_filters, (3, 3), padding=1, use_bias=False,
                         kernel_init=init001, dtype=self.dtype)(x)
