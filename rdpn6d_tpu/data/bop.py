@@ -267,8 +267,14 @@ def build_split_records(split: Split, cache_dir: str | None = None,
         cache_path = os.path.join(
             cache_dir, f"{split.name}_{cache_key}_{int(flatten)}.pkl")
         if os.path.exists(cache_path):
-            with open(cache_path, "rb") as f:
-                return pickle.load(f)
+            try:
+                with open(cache_path, "rb") as f:
+                    return pickle.load(f)
+            except (EOFError, pickle.UnpicklingError):
+                # multi-host: another process may have been writing this
+                # cache (pre-atomic-rename builds) or the file is torn —
+                # rebuild rather than crash rank N at startup
+                pass
 
     sel_objs = set(split.objs) if split.objs else set(ref.objects)
     if ref.layout == "ycb_style":
@@ -286,8 +292,13 @@ def build_split_records(split: Split, cache_dir: str | None = None,
         records = _group_per_image(records)
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        with open(cache_path, "wb") as f:
+        # atomic publish: every process of a multi-host run points at the
+        # same output dir, so a reader must never observe a half-written
+        # pickle (rank 1 raced rank 0's write and died with EOFError)
+        tmp = f"{cache_path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             pickle.dump(records, f)
+        os.replace(tmp, cache_path)
     return records
 
 
