@@ -16,6 +16,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _denorm_bare_coords(x, extents):
+    """Reference parity (point_pnp_net.py:137-138, :241-243): bare 3/5-
+    channel coord assemblies are rescaled to metric space by the class
+    extents; richer assemblies stay normalized (same trigger set as
+    ConvPnPNet, conv_pnp_net.py:125-127)."""
+    if x.shape[-1] in (3, 5) and extents is not None:
+        xyz = (x[..., :3] - 0.5) * extents[:, None, None, :]
+        x = jnp.concatenate([xyz, x[..., 3:]], axis=-1)
+    return x
+
+
 class SimplePointPnP(nn.Module):
     """Pointwise MLP + global max pool -> FC -> (rot, t)."""
 
@@ -26,7 +37,7 @@ class SimplePointPnP(nn.Module):
     @nn.compact
     def __call__(self, coord_feat, region=None, extents=None,
                  mask_attention=None, train: bool = False):
-        x = coord_feat
+        x = _denorm_bare_coords(coord_feat, extents)
         if region is not None:
             x = jnp.concatenate([x, region], axis=-1)
         if mask_attention is not None:
@@ -59,7 +70,9 @@ class PointPnP(nn.Module):
     def __call__(self, coord_feat, region=None, extents=None,
                  mask_attention=None, train: bool = False):
         assert region is not None, "PointPnP needs region softmax"
-        x = coord_feat
+        assert region.shape[-1] == self.num_regions, \
+            (region.shape, self.num_regions)
+        x = _denorm_bare_coords(coord_feat, extents)
         if mask_attention is not None:
             x = x * mask_attention
         x = x.astype(self.dtype)

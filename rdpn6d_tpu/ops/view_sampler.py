@@ -81,7 +81,11 @@ def look_at_rotations(view_dirs: np.ndarray,
     # avoid degenerate up || z
     deg = np.abs(np.sum(ups * z, axis=1)) > 0.99
     ups[deg] = (1.0, 0.0, 0.0)
-    x = np.cross(ups, z)
+    # reference/OpenCV convention (view_sampler.py:248-261: gluLookAt
+    # rows then the GL->CV y/z flip, net R = [s; cross(f,s); f] with
+    # s = cross(f, up)): cross(up, z) here would negate the x AND y rows
+    # — every rendered template would be 180-deg in-plane flipped
+    x = np.cross(z, ups)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     y = np.cross(z, x)
     return np.stack([x, y, z], axis=1)

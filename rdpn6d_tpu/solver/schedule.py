@@ -22,6 +22,11 @@ def flat_and_anneal(
     poly_power: float = 1.0,
 ):
     """Returns an optax-compatible schedule fn: step -> lr."""
+    if not 0.0 <= anneal_point <= 1.0:
+        # the reference validates too (lr_scheduler.py:216-218); out of
+        # range the anneal would silently never (or instantly) start
+        raise ValueError(f"anneal_point must be in [0, 1], "
+                         f"got {anneal_point}")
     anneal_start = anneal_point * total_iters
 
     def schedule(step):

@@ -33,6 +33,10 @@ def rle_to_mask(rle: dict) -> np.ndarray:
             flat[pos:pos + c] = True
         pos += c
         val = not val
+    if pos != h * w:
+        # numpy slicing clamps silently — a truncated/corrupt RLE would
+        # otherwise decode into a plausible-looking wrong mask
+        raise ValueError(f"RLE counts sum to {pos}, expected {h * w}")
     return flat.reshape(w, h).T
 
 

@@ -194,7 +194,11 @@ def load_pretrained_backbone(variables: dict, pth_path: str,
           if hasattr(v, "numpy")}
     params, stats = convert_torchvision_resnet(sd, depth)
 
-    new_vars = {"params": dict(variables["params"]),
+    # keep EVERY collection of the init (e.g. int8-static models carry a
+    # "quant" collection) — rebuilding with only params/batch_stats would
+    # silently drop them
+    new_vars = {**variables,
+                "params": dict(variables["params"]),
                 "batch_stats": dict(variables.get("batch_stats", {}))}
     bb_params = dict(new_vars["params"][backbone_name])
     bb_stats = dict(new_vars["batch_stats"].get(backbone_name, {}))

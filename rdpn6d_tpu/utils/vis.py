@@ -13,9 +13,12 @@ import numpy as np
 def grid_show(images: list[np.ndarray], titles: list[str] | None = None,
               rows: int = 1, save_path: str | None = None):
     """Show/save a grid of images. Returns the figure."""
-    import matplotlib
+    if save_path:
+        # only headless saving needs Agg; switching the process-global
+        # backend unconditionally would break interactive sessions
+        import matplotlib
 
-    matplotlib.use("Agg")
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     n = len(images)
@@ -75,12 +78,14 @@ def draw_pose_axes(img: np.ndarray, K: np.ndarray, R: np.ndarray,
     pts = np.float32([[0, 0, 0], [length, 0, 0], [0, length, 0],
                       [0, 0, length]])
     cam = pts @ R.T + t
-    if np.any(cam[:, 2] <= 1e-6):  # behind the camera: nothing to draw
-        return np.ascontiguousarray(img).copy()
-    uv = (cam @ K.T)
-    uv = np.clip(uv[:, :2] / uv[:, 2:3], -1e6, 1e6).astype(int)
     out = np.ascontiguousarray(img).copy()
+    if cam[0, 2] <= 1e-6:  # origin behind the camera: nothing to anchor
+        return out
+    uv = (cam @ K.T)
+    uv = np.clip(uv[:, :2] / np.maximum(uv[:, 2:3], 1e-6),
+                 -1e6, 1e6).astype(int)
     for i, color in zip((1, 2, 3),
                         ((0, 0, 255), (0, 255, 0), (255, 0, 0))):
-        cv2.line(out, tuple(uv[0]), tuple(uv[i]), color, 2)
+        if cam[i, 2] > 1e-6:  # skip only the axis that crosses the
+            cv2.line(out, tuple(uv[0]), tuple(uv[i]), color, 2)  # near plane
     return out
