@@ -48,7 +48,7 @@ class ConvPnPNet(nn.Module):
     drop_prob: float = 0.0          # DropBlock on the input feature map
     drop_block_size: int = 5
     dtype: Any = jnp.float32
-    init: str = "reference"         # reference tiny-init | fan_in (config.py)
+    init_mode: str = "reference"         # reference tiny-init | fan_in (config.py)
 
     @nn.compact
     def __call__(self, coord_feat, region=None, extents=None,
@@ -91,7 +91,7 @@ class ConvPnPNet(nn.Module):
         # tiny normal(std=0.001) init, only fc_r/fc_t use 0.01
         # (conv_pnp_net.py:104-114); "fan_in": lecun_normal for
         # short-horizon rigs (config.HeadConfig.init)
-        init001 = nn.initializers.normal(0.001) if self.init == "reference" \
+        init001 = nn.initializers.normal(0.001) if self.init_mode == "reference" \
             else nn.initializers.lecun_normal()
         for i in range(self.num_layers):
             stride = 2 if i < 3 else 1  # 64 -> 8 over the first three convs

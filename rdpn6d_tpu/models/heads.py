@@ -43,7 +43,7 @@ class DenseHead(nn.Module):
     dtype: Any = jnp.float32
     int8: bool = False              # quantize the body convs (models/quant.py)
     int8_static: bool = False       # calibrated static activation scales
-    init: str = "reference"         # reference tiny-init | fan_in (config.py)
+    init_mode: str = "reference"         # reference tiny-init | fan_in (config.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, skip64=None):
@@ -61,7 +61,7 @@ class DenseHead(nn.Module):
         # from-scratch init: "reference" = the CDPN tiny normal(0.001)
         # everywhere (cdpn_rot_head_region.py:140-146); "fan_in" =
         # lecun_normal for short-horizon rigs (see config.HeadConfig.init)
-        init001 = nn.initializers.normal(0.001) if self.init == "reference" \
+        init001 = nn.initializers.normal(0.001) if self.init_mode == "reference" \
             else nn.initializers.lecun_normal()
         x = nn.ConvTranspose(self.num_filters, (3, 3), strides=(2, 2),
                              padding=((1, 2), (1, 2)), use_bias=False,
@@ -104,12 +104,12 @@ class TransHead(nn.Module):
     norm: str = "BN"
     gn_groups: int = 32
     dtype: Any = jnp.float32
-    init: str = "reference"
+    init_mode: str = "reference"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # reference TransHeadNet tiny-init parity (cdpn_trans_head.py:45-53)
-        init001 = nn.initializers.normal(0.001) if self.init == "reference" \
+        init001 = nn.initializers.normal(0.001) if self.init_mode == "reference" \
             else nn.initializers.lecun_normal()
         for _ in range(self.num_layers):
             x = nn.Conv(self.num_filters, (3, 3), padding=1, use_bias=False,

@@ -112,7 +112,7 @@ class RDPN(nn.Module):
             dtype=self.dtype,
             int8=self._int8_head,
             int8_static=self.int8_static,
-            init=head_cfg.init,
+            init_mode=head_cfg.init,
             name="dense_head",
             # train is positional: under nn.remat it must be a STATIC
             # argument (it selects batch-norm mode)
@@ -178,7 +178,7 @@ class RDPN(nn.Module):
                 rot_dim=pnp_cfg.rot_dim, featdim=pnp_cfg.featdim,
                 num_layers=pnp_cfg.num_layers, gn_groups=pnp_cfg.gn_groups,
                 norm=pnp_cfg.norm, drop_prob=pnp_cfg.drop_prob,
-                init=head_cfg.init, dtype=self.dtype, name="pnp_net")
+                init_mode=head_cfg.init, dtype=self.dtype, name="pnp_net")
         elif pnp_cfg.pnp_head == "SimplePointPnP":
             from .point_pnp import SimplePointPnP
             pnp_net = SimplePointPnP(rot_dim=pnp_cfg.rot_dim,
@@ -209,7 +209,7 @@ class RDPN(nn.Module):
             # feature (cdpn_trans_head.py:39 Linear(256*8*8, 4096)); the
             # 32x32 fused map would blow the first Dense up to ~1e9 params
             t_param = TransHead(num_filters=head_cfg.num_filters,
-                                dtype=self.dtype, init=head_cfg.init,
+                                dtype=self.dtype, init_mode=head_cfg.init,
                                 name="trans_head")(feat8, train=train)
 
         # ------------------------------------------------------------------
