@@ -93,6 +93,31 @@ def maybe_init_distributed(args) -> None:
     if args.process_id >= 0:
         kwargs["process_id"] = args.process_id
     jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        # Establish the cross-host collective context NOW, while every
+        # process sits at the same line (skew: milliseconds). The first
+        # collective otherwise happens deep inside startup (orbax
+        # CheckpointManager's create-directory sync), where per-host
+        # skew — records-cache rebuilds, imports, a loaded box — can
+        # exceed the transport's hard context-init deadline (observed:
+        # CPU gloo's 30 s GetKeyValue limit killing rank 0 while rank 1
+        # was still initializing). Contexts are PER DEVICE SET: the
+        # process-level barrier covers orbax/gather_predictions-style
+        # syncs, and the full-mesh reduce covers the train step's psum
+        # (its first execution otherwise lands after per-host compiles,
+        # whose skew on a loaded host exceeds the same deadline).
+        import numpy as np
+        from jax.experimental import multihost_utils
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        multihost_utils.sync_global_devices("rdpn6d:startup")
+        devs = np.asarray(jax.devices()).reshape(-1)
+        mesh = Mesh(devs, ("d",))
+        x = jax.device_put(np.ones((len(devs),), np.float32),
+                           NamedSharding(mesh, P("d")))
+        total = jax.jit(lambda a: a.sum(),
+                        out_shardings=NamedSharding(mesh, P()))(x)
+        assert float(total) == float(len(devs))
 
 
 def main(argv=None):
