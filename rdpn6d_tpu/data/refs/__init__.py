@@ -19,7 +19,17 @@ from typing import Any
 
 import numpy as np
 
-DATA_ROOT = os.environ.get("RDPN6D_DATA_ROOT", "datasets/BOP_DATASETS")
+# In-process override (tests monkeypatch this); None -> env at CALL time.
+DATA_ROOT: str | None = None
+
+
+def data_root() -> str:
+    """Dataset root, resolved at CALL time: tests monkeypatch
+    ``RDPN6D_DATA_ROOT`` (or ``DATA_ROOT`` above) after this module is
+    already imported, so an import-time binding would silently serve
+    the previous root."""
+    return DATA_ROOT or os.environ.get("RDPN6D_DATA_ROOT",
+                                       "datasets/BOP_DATASETS")
 
 _MODELS_INFO_CACHE: dict[tuple[str, float], dict] = {}
 
@@ -68,7 +78,7 @@ class DatasetRef:
 
     @property
     def root(self) -> str:
-        return self.root_override or os.path.join(DATA_ROOT, self.name)
+        return self.root_override or os.path.join(data_root(), self.name)
 
     @property
     def model_dir(self) -> str:
