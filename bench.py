@@ -134,7 +134,7 @@ def main() -> None:
     variables = model.init(jax.random.PRNGKey(0), dummy_batch(cfg, 2),
                            train=False)
 
-    best_bs, best, best_fpp = 0, 0.0, 0.0
+    best_bs, best_bf16, best_fpp = 0, 0.0, 0.0
     for bs in (128, 256, 384):
         try:
             pps, fpp = _measure(model, variables, bs, cfg)
@@ -142,18 +142,21 @@ def main() -> None:
             # tolerate ONLY an OOM at the top of the sweep (keep the best
             # smaller batch); anything else — or a first-size failure —
             # must surface, not print value 0.0 with exit 0
-            if best == 0.0 or "RESOURCE_EXHAUSTED" not in str(e):
+            if best_bf16 == 0.0 or "RESOURCE_EXHAUSTED" not in str(e):
                 raise
             break
-        if pps > best:
-            best_bs, best, best_fpp = bs, pps, fpp
+        if pps > best_bf16:
+            best_bs, best_bf16, best_fpp = bs, pps, fpp
 
     # int8-head-static serving mode: calibrated scalar requant scales,
-    # measured 1.16x faster than bf16 e2e with an EXACT accuracy gate
-    # (cube overfit ad_10/re_5/te_2=100, AUCad 97.4 = bf16; PERF.md
-    # round 3). The headline takes whichever mode is faster; MFU keeps
-    # the bf16-equivalent FLOPs/pose denominator.
-    mode = "bf16"
+    # measured 1.16x faster than bf16 e2e; accuracy gate holds ad_10/
+    # te_2/AUCad parity with bf16 (re_5 scoped per PERF.md round 3/4).
+    # The headline takes whichever mode is faster; the int8 portion runs
+    # against a 394 TOPS int8 peak, so its speedup is reported as
+    # `int8_speedup` over bf16 — NOT folded into an "MFU". mfu_bf16_pct
+    # is the honest hardware-utilization figure: bf16 mode throughput x
+    # analytic FLOPs/pose / the 197 TFLOP/s bf16 peak.
+    mode, best = "bf16", best_bf16
     try:
         from rdpn6d_tpu.models.quant import calibrate_quant
 
@@ -171,23 +174,30 @@ def main() -> None:
     except Exception:
         pass  # serving-mode probe must never break the benchmark
 
-    # MFU: analytic model FLOPs/pose (XLA cost analysis) / bf16 peak.
     # TPU v5e ("TPU v5 lite") peak: 197 TFLOP/s bf16 (394 is the int8
     # figure). Microbench check: a chained 3x3x256@64^2 conv+bn+relu stack
     # sustains 87% of 197 TFLOP/s on this chip, so 197 is the right
-    # denominator.
+    # denominator for the bf16 utilization figure.
     peak = 197e12
-    mfu = best * best_fpp / peak
+    mfu_bf16 = best_bf16 * best_fpp / peak
 
     print(json.dumps({
+        # "FULL-frame ... on-device preprocessing" = DZI crop + depth
+        # backprojection + coord features run on-chip inside the timed
+        # jit; frames are PRE-STAGED as device arrays, so host decode +
+        # host->device transfer are excluded (measured separately by
+        # tools/bench_input.py).
         "metric": "poses/sec/chip FULL-frame RGB-D->6DoF incl. on-device "
                   f"preprocessing (ResNet34 256px, best bs={best_bs}, "
-                  f"{mode})",
+                  f"{mode}; frames pre-staged on device)",
         "value": round(best, 2),
         "unit": "poses/sec",
         "vs_baseline": round(best / BASELINE_POSES_PER_SEC, 3),
         "gflop_per_pose": round(best_fpp / 1e9, 2),
-        "mfu_pct": round(mfu * 100.0, 2),
+        "bf16_poses_per_sec": round(best_bf16, 2),
+        "mfu_bf16_pct": round(mfu_bf16 * 100.0, 2),
+        "int8_speedup": round(best / best_bf16, 3) if mode != "bf16"
+        else None,
     }))
 
 

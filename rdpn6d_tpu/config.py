@@ -150,11 +150,14 @@ class DataConfig:
     truncate_fg: bool = False
     filter_visib_thr: float = 0.0
     repeat_factor_thresh: float = 0.0   # >0: RepeatFactorSampler
-    grouped_train: bool = False     # frame-deduplicated compact-dtype
+    grouped_train: bool = True      # frame-deduplicated compact-dtype
     # train input path (uint8 RGB / uint16 depth on a shared frame axis,
     # f16 xyz + packed uint8 masks per ROI; loader.train_group_iterator).
-    # Samples per FRAME instead of per instance; incompatible with
-    # repeat_factor_thresh.
+    # The production default: 6.8x measured at the real CLI (PERF.md).
+    # Samples per FRAME instead of per instance (detectron2-style
+    # per-image sampling, like the reference); repeat_factor_thresh>0
+    # applies the reference-exact IMAGE-level repeat factors here.
+    # false = legacy flat per-instance path (float32 full frames per ROI).
     frame_bucket: int = 8           # frame-axis pad bucket (grouped path)
     # bytes-capped LRU of raw decoded frames (uint8 rgb + stored-dtype
     # depth, ~1.5 MB per 480x640 frame): multi-epoch training over

@@ -591,11 +591,6 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
     frames PER ROI; this path ships each frame once in compact dtypes —
     the binding host-decode/PCIe constraint on real training (PERF.md).
     """
-    if cfg.data.repeat_factor_thresh > 0:
-        raise ValueError(
-            "grouped_train is frame-sampled and incompatible with the "
-            "instance-level RepeatFactorSampler; unset "
-            "data.repeat_factor_thresh or data.grouped_train")
     names = [split_name] if isinstance(split_name, str) else list(split_name)
     records = load_train_records(cfg, names, cache_dir=cache_dir)
     split = get_split(names[0])
@@ -629,8 +624,21 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
     import jax
 
     shard_id, num_shards = jax.process_index(), jax.process_count()
-    sampler = InfiniteSampler(len(frame_groups), seed=seed,
-                              shard_id=shard_id, num_shards=num_shards)
+    if cfg.data.repeat_factor_thresh > 0:
+        # image-level repeat factors — the reference's exact semantics
+        # (frame frequency + per-frame max, my_distributed_sampler.py:
+        # 88-131), so the YCB-V imbalance recipe runs on the fast path
+        from .sampler import frame_repeat_factors
+
+        reps = frame_repeat_factors(
+            [[records[i]["cls_idx"] for i in g] for g in frame_groups],
+            cfg.data.repeat_factor_thresh)
+        sampler: InfiniteSampler = RepeatFactorSampler(
+            repeat_factors=reps, seed=seed,
+            shard_id=shard_id, num_shards=num_shards)
+    else:
+        sampler = InfiniteSampler(len(frame_groups), seed=seed,
+                                  shard_id=shard_id, num_shards=num_shards)
 
     if num_workers is None:
         num_workers = max(1, min(8, (os.cpu_count() or 1) - 1)) \

@@ -548,7 +548,11 @@ def _bop19_scores(cfg: Config, ref: Any, records: list[dict],
             meshes[oid] = (ply["pts"].astype(np.float32),
                            np.asarray(ply["faces"], np.int32))
         if meshes is not None:
-            @lru_cache(maxsize=8)
+            # ~1.2 MB per 480x640 float32 depth frame -> 64 caps the
+            # cache at ~80 MB; matching iterates targets grouped per
+            # image, so this only needs to absorb interleaving across a
+            # few images even on full YCB-V-sized splits
+            @lru_cache(maxsize=64)
             def _depth(scene_id: int, im_id: int) -> np.ndarray:
                 path, factor = depth_info[(scene_id, im_id)]
                 return _imread_depth(path, factor)

@@ -38,15 +38,27 @@ class RDPN(nn.Module):
     cfg: Config
     dtype: Any = jnp.bfloat16
     int8: Any = False               # W8A8 serving mode (models/quant.py):
-    # False | True/"all" | "trunk" | "head". Same param tree as the bf16
-    # model, so bf16-trained checkpoints serve in int8 directly.
+    # False | True/"all" | "trunk" | "head" | "trunk0".."trunk3" (one
+    # trunk stage only — per-stage sensitivity attribution, PERF.md
+    # round 4). Same param tree as the bf16 model, so bf16-trained
+    # checkpoints serve in int8 directly.
     int8_static: bool = False       # calibrated static activation scales
     # (models/quant.calibrate_quant): removes the per-conv dynamic absmax
     # reductions that block XLA fusion in dynamic mode
 
     @property
     def _int8_trunk(self) -> bool:
-        return self.int8 in (True, "all", "trunk")
+        return self.int8 in (True, "all", "trunk") \
+            or self._trunk_stage_mask is not None
+
+    @property
+    def _trunk_stage_mask(self):
+        """('trunkN' mode) 4-bool stage mask quantizing only stage N."""
+        if isinstance(self.int8, str) and len(self.int8) == 6 \
+                and self.int8.startswith("trunk") and self.int8[5].isdigit():
+            n = int(self.int8[5])
+            return tuple(s == n for s in range(4))
+        return None
 
     @property
     def _int8_head(self) -> bool:
@@ -70,7 +82,9 @@ class RDPN(nn.Module):
             if cfg.solver.remat else ResNetTrunk
         trunk = trunk_cls(cfg.backbone.depth, dtype=self.dtype,
                           int8=self._int8_trunk,
-                          int8_static=self.int8_static, name="backbone")
+                          int8_static=self.int8_static,
+                          int8_stages=self._trunk_stage_mask,
+                          name="backbone")
         # train/return_skips positional: static under nn.remat
         if cfg.backbone.rot_concat:
             feat, skips = trunk(rgb, train, True)

@@ -90,6 +90,9 @@ class ResNetTrunk(nn.Module):
     dtype: Any = jnp.float32
     int8: bool = False              # W8A8 serving mode (models/quant.py)
     int8_static: bool = False       # calibrated static activation scales
+    int8_stages: Any = None         # None = all stages when int8; else a
+    # 4-tuple of bools selecting which stages quantize (per-stage int8
+    # sensitivity attribution, PERF.md round 4)
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -115,10 +118,12 @@ class ResNetTrunk(nn.Module):
         skips = []
         for stage, (planes, n_blocks) in enumerate(
                 zip((64, 128, 256, 512), layers)):
+            s_int8 = self.int8 and (self.int8_stages is None
+                                    or bool(self.int8_stages[stage]))
             for i in range(n_blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 x = block(planes, stride, dtype=self.dtype,
-                          int8=self.int8, int8_static=self.int8_static)(x, train=train)
+                          int8=s_int8, int8_static=self.int8_static)(x, train=train)
             skips.append(x)
 
         if return_skips:

@@ -188,6 +188,34 @@ def test_object_with_zero_predictions_still_counts_as_failures():
     np.testing.assert_allclose(res["mean"]["ad_10"], 25.0)
 
 
+def test_precision_mode_ignores_undetected():
+    """``precision=True`` = the reference's _eval_predictions_precision
+    (gdrn_custom_evaluator.py:731+): metrics over PREDICTIONS only,
+    undetected GT instances ignored instead of inf-padded failures.
+    Wired at the CLI as ``test.eval_precision`` (eval_runner.py)."""
+    pts = np.random.RandomState(2).randn(50, 3).astype(np.float32) * 0.05
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 1.0])
+
+    kw = dict(models={"a": pts}, diameters={"a": 0.2},
+              sym_rots={"a": None}, n_gts={"a": 4})
+    recall_ev = PoseEvaluator(**kw)
+    prec_ev = PoseEvaluator(precision=True, **kw)
+    for ev in (recall_ev, prec_ev):
+        ev.process("a", R, t, R, t, K, im_id=0)
+        ev.process("a", R, t, R, t, K, im_id=1)  # 2 perfect of 4 GT
+    assert recall_ev.evaluate()["per_obj"]["a"]["ad_10"] == 50.0
+    assert prec_ev.evaluate()["per_obj"]["a"]["ad_10"] == 100.0
+    # rete_N combined (deg, cm) thresholds ride along in both modes
+    assert prec_ev.evaluate()["per_obj"]["a"]["rete_2"] == 100.0
+
+    from rdpn6d_tpu.config import Config
+
+    assert Config().apply_opts(
+        ["test.eval_precision=true"]).test.eval_precision
+
+
 def test_recall_curve_dumps(tmp_path):
     """eval_plots counterpart: recall-vs-threshold CSVs per error type
     with per-object + MEAN columns (reference lib/pysixd/eval_plots.py)."""

@@ -224,16 +224,50 @@ def test_group_iterator_dedup_and_dtypes(multi_instance_ds, monkeypatch):
                                       b8["rois"]["bbox"])
 
 
-def test_group_iterator_rejects_repeat_factor(multi_instance_ds,
-                                              monkeypatch):
+def test_frame_repeat_factors_image_level_semantics():
+    """Reference-exact image-level repeat factors
+    (my_distributed_sampler.py:88-131): f(c) = fraction of FRAMES
+    containing c; r(c) = max(1, sqrt(thr/f(c))); r(frame) = max over its
+    categories."""
+    import math
+
+    from rdpn6d_tpu.data.sampler import (RepeatFactorSampler,
+                                         frame_repeat_factors)
+
+    # 4 frames: class 0 in all (f=1.0), class 1 in one frame (f=0.25)
+    frames = [[0], [0, 0], [0], [0, 1]]
+    reps = frame_repeat_factors(frames, repeat_thresh=0.5)
+    np.testing.assert_allclose(reps[:3], 1.0)
+    np.testing.assert_allclose(reps[3], math.sqrt(0.5 / 0.25))
+
+    # the sampler oversamples the rare frame by ~r in expectation
+    s = RepeatFactorSampler(repeat_factors=reps, seed=3)
+    import itertools
+
+    draws = list(itertools.islice(iter(s), 5000))
+    counts = np.bincount(draws, minlength=4)
+    ratio = counts[3] / counts[:3].mean()
+    assert 1.2 <= ratio <= 1.7  # sqrt(2) ~ 1.414 in expectation
+
+
+def test_group_iterator_frame_level_repeat_factor(multi_instance_ds,
+                                                  monkeypatch):
+    """repeat_factor_thresh>0 now runs on the grouped path (frame-level
+    factors); single-class fixture -> factors all 1.0, batches flow."""
     root, _ = multi_instance_ds
     monkeypatch.setattr(refs_mod, "DATA_ROOT", root)
+    from rdpn6d_tpu.data.bop import Split, register_split
     from rdpn6d_tpu.data.loader import train_group_iterator
 
+    register_split(Split("mi_train_grp", "lm", "train", scene_ids=(1,)))
     cfg = Config().apply_opts(["head.num_regions=4",
                                "data.repeat_factor_thresh=0.5"])
-    with pytest.raises(ValueError, match="RepeatFactorSampler"):
-        next(train_group_iterator(cfg, "mi_train_grp", batch_size=4))
+    assets = synthetic_class_assets(num_regions=4)
+    dec = RecordDecoder(cfg, assets)
+    it = train_group_iterator(cfg, "mi_train_grp", decoder=dec,
+                              batch_size=4, frame_bucket=1)
+    batch = next(it)
+    assert batch["rois"]["bbox"].shape[0] == 4
 
 
 def test_cli_train_grouped(multi_instance_ds, monkeypatch, tmp_path):

@@ -63,8 +63,10 @@ def test_class_aware_heads():
 
 
 @pytest.mark.parametrize("rot_type,dim", [
-    ("allo_quat", 4), ("allo_log_quat", 4), ("allo_lie_vec", 3),
-    ("ego_rot6d", 6)])
+    ("allo_quat", 4), ("ego_quat", 4),
+    ("allo_log_quat", 4), ("ego_log_quat", 4),
+    ("allo_lie_vec", 3), ("ego_lie_vec", 3),
+    ("allo_rot6d", 6), ("ego_rot6d", 6)])
 def test_rot_types(rot_type, dim):
     cfg, out = run_variant([f'pnp.rot_type="{rot_type}"'])
     assert out["rot_param"].shape[-1] == dim

@@ -83,6 +83,41 @@ def test_int8_granularity_and_config_wiring():
     assert not m3._int8_trunk and not m3._int8_head
 
 
+def test_int8_single_trunk_stage_mode():
+    """'trunkN' quantizes ONE trunk stage (per-stage sensitivity
+    attribution): param tree unchanged, calibration records scales only
+    for that stage's blocks, head/other stages stay full precision."""
+    from rdpn6d_tpu.models.quant import calibrate_quant
+
+    cfg = Config().apply_opts(TINY)
+    batch = dummy_batch(cfg, 2)
+    batch["roi_img"] = jax.random.normal(
+        jax.random.PRNGKey(3), batch["roi_img"].shape, jnp.float32)
+    batch["roi_coord_2d"] = jax.random.normal(
+        jax.random.PRNGKey(4), batch["roi_coord_2d"].shape, jnp.float32)
+
+    m = RDPN(cfg, dtype=jnp.float32, int8="trunk2", int8_static=True)
+    assert m._int8_trunk and not m._int8_head
+    assert m._trunk_stage_mask == (False, False, True, False)
+    # plain names pass through untouched
+    assert RDPN(cfg, int8="trunk")._trunk_stage_mask is None
+    assert not RDPN(cfg, int8=False)._int8_trunk
+
+    v = m.init(jax.random.PRNGKey(0), batch, train=False)
+    ref = RDPN(cfg, dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), batch, train=False)
+    assert (jax.tree_util.tree_structure(
+        {k: v[k] for k in ("params", "batch_stats")})
+        == jax.tree_util.tree_structure(ref))
+
+    quant = calibrate_quant(m, v["params"], v.get("batch_stats", {}),
+                            [batch])
+    assert set(quant) == {"backbone"}, sorted(quant)  # head untouched
+    # ResNet-18: stages are 2 BasicBlocks each -> stage 2 = blocks 4,5
+    blocks = sorted(quant["backbone"])
+    assert blocks == ["BasicBlock_4", "BasicBlock_5"], blocks
+
+
 def test_int8_conv_uses_integer_mxu_path():
     """The contraction must be int8 x int8 -> int32 (the 2x-rate MXU
     path), not a dequantize-then-float conv."""
