@@ -159,6 +159,14 @@ class DataConfig:
     # applies the reference-exact IMAGE-level repeat factors here.
     # false = legacy flat per-instance path (float32 full frames per ROI).
     frame_bucket: int = 8           # frame-axis pad bucket (grouped path)
+    ship_crops: bool = True         # grouped path: ship per-ROI GT xyz +
+    # packed masks as TIGHT CROPS (the xyz map's own nonzero bbox) with a
+    # [2] offset instead of full frames — bit-exact (everything the train
+    # graph consumes is zero outside that bbox: masks are multiplied by
+    # mask_obj = xyz-nonzero on device), and it cuts the dominant
+    # host->device train bytes ~4-5x on 480x640 frames. false = full-frame
+    # GT maps (debug fallback).
+    crop_pad: int = 64              # crop-side pad bucket (few jit shapes)
     # bytes-capped LRU of raw decoded frames (uint8 rgb + stored-dtype
     # depth, ~1.5 MB per 480x640 frame): multi-epoch training over
     # small/medium splits stops re-paying the PNG decode ceiling
@@ -258,6 +266,11 @@ class Config:
                 value = json.loads(raw)
             except json.JSONDecodeError:
                 value = raw
+            if value in ("True", "False"):
+                # Python-style bools: json.loads only accepts lowercase,
+                # and a fall-through string "False" is TRUTHY — a silent
+                # flag inversion a CLI user would never notice
+                value = value == "True"
             if isinstance(value, list):  # keep configs hashable (jit static)
                 value = tuple(value)
             if len(parts) == 1:

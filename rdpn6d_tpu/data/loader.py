@@ -245,9 +245,9 @@ class RecordDecoder:
             return (lab == rec["label_obj_id"]).astype(np.float32)
         return None
 
-    def _xyz_full(self, path: str, H: int, W: int) -> np.ndarray:
-        """xyz_crop pkl pasted into a fresh float32 full-frame map; the
-        pkl contents (crop + box, stored dtype) ride the frame LRU."""
+    def _xyz_info(self, path: str) -> dict[str, np.ndarray]:
+        """xyz_crop pkl contents (crop + inclusive xyxy box, stored
+        dtype), riding the frame LRU."""
         def load() -> dict[str, np.ndarray]:
             import pickle
 
@@ -256,8 +256,12 @@ class RecordDecoder:
             return {"xyxy": np.asarray(info["xyxy"], np.int32),
                     "crop": np.asarray(info["xyz_crop"])}
 
-        info = load() if self._frame_cache is None \
+        return load() if self._frame_cache is None \
             else self._frame_cache.get(("xyz", path), load)
+
+    def _xyz_full(self, path: str, H: int, W: int) -> np.ndarray:
+        """xyz_crop pkl pasted into a fresh float32 full-frame map."""
+        info = self._xyz_info(path)
         x1, y1, x2, y2 = (int(v) for v in info["xyxy"])
         full = np.zeros((H, W, 3), np.float32)
         full[y1:y2 + 1, x1:x2 + 1] = info["crop"].astype(np.float32)
@@ -334,19 +338,57 @@ class RecordDecoder:
         H, W = rec["height"], rec["width"]
         mask_visib = self._mask_visib(rec)
 
+        # ship_crops: GT xyz (and the packed masks) leave the host as the
+        # xyz map's own nonzero bbox + a [2] offset instead of full
+        # frames. Bit-exact: the device graph multiplies every consumed
+        # mask by mask_obj = xyz-nonzero, which is zero outside this box,
+        # and out-of-crop warp taps are zero like the full frame's zeros
+        # (pipeline.preprocess_roi, ops/warp.crop_resize). ~4-5x less
+        # per-ROI train bytes at 480x640.
+        ship_crops = bool(getattr(self.cfg.data, "ship_crops", False))
         xyz16 = None
+        xyz_box = None  # inclusive (x1, y1, x2, y2) covering xyz != 0
         if ship_xyz:
             if rec.get("xyz_path") and os.path.exists(rec["xyz_path"]):
-                xyz16 = self._xyz_full(rec["xyz_path"], H, W).astype(
-                    np.float16)
+                info = self._xyz_info(rec["xyz_path"])
+                x1, y1, x2, y2 = (int(v) for v in info["xyxy"])
+                xyz_box = (x1, y1, x2, y2)
+                if ship_crops:
+                    xyz16 = np.ascontiguousarray(
+                        info["crop"].astype(np.float16))
+                else:
+                    full = np.zeros((H, W, 3), np.float32)
+                    full[y1:y2 + 1, x1:x2 + 1] = info["crop"].astype(
+                        np.float32)
+                    xyz16 = full.astype(np.float16)
+                if mask_visib is None:
+                    mask_visib = np.zeros((H, W), np.float32)
+                    mask_visib[y1:y2 + 1, x1:x2 + 1] = (
+                        np.abs(info["crop"].astype(np.float32)).sum(-1)
+                        > 0)
             else:
                 depth = frame["depth_raw"].astype(np.float32) \
                     / float(frame["depth_factor"])
                 xyz16 = self._depth_fallback_xyz(
                     depth, rec, mask_visib).astype(np.float16)
-            if mask_visib is None:
-                mask_visib = (np.abs(xyz16.astype(np.float32)).sum(-1)
-                              > 0).astype(np.float32)
+                if mask_visib is None:
+                    mask_visib = (np.abs(xyz16.astype(np.float32)).sum(-1)
+                                  > 0).astype(np.float32)
+                if ship_crops:
+                    # float compare, NOT a bit test: the masked multiply
+                    # leaves -0.0 at background pixels, which is exactly
+                    # mask_obj == 0 on device (xyz != 0 is False for -0.0)
+                    nz = xyz16 != 0
+                    nz_y = np.flatnonzero(np.any(nz, axis=(1, 2)))
+                    nz_x = np.flatnonzero(np.any(nz, axis=(0, 2)))
+                    if nz_y.size:
+                        xyz_box = (int(nz_x[0]), int(nz_y[0]),
+                                   int(nz_x[-1]), int(nz_y[-1]))
+                    else:  # fully occluded/invalid: 1px zero crop
+                        xyz_box = (0, 0, 0, 0)
+                    x1, y1, x2, y2 = xyz_box
+                    xyz16 = np.ascontiguousarray(
+                        xyz16[y1:y2 + 1, x1:x2 + 1])
         if mask_visib is None:
             # maskless dataset with ship_xyz=False: same semantics as the
             # flat path's depth fallback (visible surface = valid-depth
@@ -380,10 +422,15 @@ class RecordDecoder:
 
         packed = ((mask_visib > 0).astype(np.uint8)
                   | ((mask_trunc > 0).astype(np.uint8) << 1))
+        if xyz_box is not None and ship_crops:
+            x1, y1, x2, y2 = xyz_box
+            packed = np.ascontiguousarray(packed[y1:y2 + 1, x1:x2 + 1])
         roi = {"bbox": bbox.astype(np.float32), "mask_packed": packed,
                **self._roi_assets(rec)}
         if xyz16 is not None:
             roi["xyz"] = xyz16
+            if xyz_box is not None and ship_crops:
+                roi["xyz_offset"] = np.asarray(xyz_box[:2], np.float32)
         return roi, private
 
     def __call__(self, rec: dict[str, Any],
@@ -444,6 +491,28 @@ class RecordDecoder:
 
 def _stack(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def _pad_roi_crops(rois: list[dict[str, np.ndarray]],
+                   pad_bucket: int) -> None:
+    """Zero-pad per-ROI GT crops (``xyz`` + ``mask_packed`` shipped with
+    an ``xyz_offset``) to one square batch side, rounded up to
+    ``pad_bucket`` so jit sees few distinct shapes. Zero padding is
+    semantics-free: the device graph treats out-of-crop pixels as zero
+    either way. In-place."""
+    if not rois or "xyz_offset" not in rois[0]:
+        return
+    side = max(max(r["xyz"].shape[0], r["xyz"].shape[1]) for r in rois)
+    side = -(-side // pad_bucket) * pad_bucket
+    for r in rois:
+        h, w = r["xyz"].shape[:2]
+        if h == side and w == side:
+            continue
+        xyz = np.zeros((side, side, 3), r["xyz"].dtype)
+        xyz[:h, :w] = r["xyz"]
+        mp = np.zeros((side, side), r["mask_packed"].dtype)
+        mp[:h, :w] = r["mask_packed"]
+        r["xyz"], r["mask_packed"] = xyz, mp
 
 
 def load_train_records(cfg: Config, split_names: str | list[str],
@@ -713,6 +782,8 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
                     Fpad = min(-(-F // frame_bucket) * frame_bucket, bs)
                     while len(frames_l) < Fpad:
                         frames_l.append(frames_l[-1])
+                    _pad_roi_crops(rois_l,
+                                   int(getattr(cfg.data, "crop_pad", 64)))
                     q.put({
                         "frames": _stack(frames_l),
                         "rois": _stack(rois_l),

@@ -206,7 +206,13 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
         planes = [mask_visib[..., None], mask_obj[..., None], xyz_full]
         if has_trunc:  # host truncation aug (loader)
             planes.append((mask_trunc_in * mask_obj)[..., None])
-        stacked = crop_resize(jnp.concatenate(planes, axis=-1), center,
+        # crop-shipped GT (loader ship_crops): xyz/mask_packed arrive as
+        # the xyz map's nonzero bbox + offset — shift the warp's source
+        # coordinates into crop space; out-of-crop taps read zero exactly
+        # like the full frame's zeros outside that bbox
+        gt_center = center if "xyz_offset" not in sample \
+            else center - sample["xyz_offset"]
+        stacked = crop_resize(jnp.concatenate(planes, axis=-1), gt_center,
                               scale, out_res, "nearest")
         roi_mask_visib = stacked[..., 0]
         roi_mask_obj = stacked[..., 1]

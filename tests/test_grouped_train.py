@@ -120,6 +120,8 @@ def _flat_and_grouped(cfg, records, ship_xyz):
         assert private is None  # no bg aug in this cfg
         roi["frame_idx"] = np.int32(fmap[fkey])
         rois_l.append(roi)
+    from rdpn6d_tpu.data.loader import _pad_roi_crops
+    _pad_roi_crops(rois_l, int(cfg.data.crop_pad))  # as the iterator does
     frames = {k: jnp.asarray(v) for k, v in _stack(frames_l).items()}
     rois = {k: jnp.asarray(v) for k, v in _stack(rois_l).items()}
     out_grp = preprocess_rois_grouped(cfg, frames, rois, key, train=True)
@@ -160,6 +162,54 @@ def test_grouped_labels_match_flat_path(multi_instance_ds, ship_xyz):
         else:
             diff = np.abs(a - b)
         assert diff.max() < atol + 1e-7, (k, float(diff.max()))
+
+
+@pytest.mark.parametrize("ship_xyz", [True, False],
+                         ids=["f16_xyz", "device_derived_xyz"])
+def test_ship_crops_bit_identical_to_full_frames(multi_instance_ds,
+                                                 ship_xyz):
+    """data.ship_crops (GT xyz + packed masks as the xyz nonzero bbox +
+    offset) must be BIT-identical to full-frame GT shipping: everything
+    the train graph consumes is zero outside that bbox, and out-of-crop
+    warp taps read zero like the full frame's zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.data.loader import _pad_roi_crops
+    from rdpn6d_tpu.data.pipeline import preprocess_rois_grouped
+
+    _, records = multi_instance_ds
+    key = jax.random.PRNGKey(7)
+    outs = {}
+    for ship_crops in (False, True):
+        cfg = Config().apply_opts(["head.num_regions=4",
+                                   f"data.ship_crops={ship_crops}"])
+        assert cfg.data.ship_crops is ship_crops  # apply_opts bool coercion
+        assets = synthetic_class_assets(num_regions=4)
+        dec = RecordDecoder(cfg, assets, num_pm_points=64)
+        frames_l, rois_l, fmap = [], [], {}
+        for r in records:
+            fkey = (r["scene_id"], r["im_id"])
+            if fkey not in fmap:
+                fmap[fkey] = len(frames_l)
+                frames_l.append(dec.read_frame(r))
+            roi, _ = dec.decode_roi_compact(r, frames_l[fmap[fkey]],
+                                            ship_xyz=ship_xyz)
+            roi["frame_idx"] = np.int32(fmap[fkey])
+            rois_l.append(roi)
+        if ship_crops and ship_xyz:
+            assert all("xyz_offset" in r for r in rois_l)
+            assert all(r["xyz"].shape[:2] != (480, 640) for r in rois_l)
+            _pad_roi_crops(rois_l, 64)
+            sides = {r["xyz"].shape[:2] for r in rois_l}
+            assert len(sides) == 1 and len(rois_l[0]["mask_packed"].shape) == 2
+        frames = {k: jnp.asarray(v) for k, v in _stack(frames_l).items()}
+        rois = {k: jnp.asarray(v) for k, v in _stack(rois_l).items()}
+        outs[ship_crops] = preprocess_rois_grouped(cfg, frames, rois, key,
+                                                   train=True)
+    for k in outs[False]:
+        a, b = np.asarray(outs[False][k]), np.asarray(outs[True][k])
+        np.testing.assert_array_equal(a, b, err_msg=k)
 
 
 def test_grouped_step_input_bytes_cut(multi_instance_ds):

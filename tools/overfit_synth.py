@@ -133,6 +133,15 @@ def main():
                         "identifiable up to symmetry); tetra = irregular "
                         "ASYMMETRIC mesh — the rig for judging whether "
                         "Kabsch refinement helps/hurts real rotations")
+    p.add_argument("--init", choices=("fan_in", "reference"),
+                   default="fan_in",
+                   help="head/PnP init scheme: the gate uses fan_in "
+                        "(reference tiny normal(0.001) init cannot learn "
+                        "rotation in a 300-step rig); --init reference at "
+                        "a LONG --steps horizon is the convergence-"
+                        "evidence rig for the production default "
+                        "(VERDICT r3 #8)")
+    p.add_argument("--lr", type=float, default=0.0003)
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -145,13 +154,13 @@ def main():
     from rdpn6d_tpu.models import RDPN
     from rdpn6d_tpu.parallel import make_eval_step
 
-    opts = ["solver.warmup_iters=10", "solver.base_lr=0.0003",
+    opts = ["solver.warmup_iters=10", f"solver.base_lr={args.lr}",
             f'train.output_dir="{args.out}"', "train.log_period=25",
             "data.color_aug_prob=0.0",
             # a 300-step overfit cannot move the reference tiny-init
             # (gradients start ~1e-5-scale); the gate tests the PIPELINE,
             # not the init scheme (config.HeadConfig.init)
-            'head.init="fan_in"']
+            f'head.init="{args.init}"']
     if args.small:
         opts += ["backbone.depth=18", "backbone.input_res=64",
                  "head.out_res=16", "head.num_regions=8",
