@@ -173,6 +173,13 @@ class DataConfig:
     # (~53 frames/s/core) every epoch. Augmentation draws happen AFTER
     # the cache (per-visit re-roll untouched). 0 disables.
     frame_cache_mb: int = 2048
+    # DEVICE-resident frame LRU (data/device_cache.py): decoded frames
+    # stay in HBM keyed by source path, so multi-epoch training re-ships
+    # only frames evicted or bg-replaced — on a link-thin host the frame
+    # bytes are THE grouped-path step bottleneck (PERF.md round 4).
+    # ~1.5 MB/frame at 480x640: 1024 MB holds ~700 frames. 0 disables
+    # (e.g. to free HBM for very large batches).
+    device_frame_cache_mb: int = 1024
     train_datasets: tuple[str, ...] = ()
     train2_datasets: tuple[str, ...] = ()
     train2_ratio: float = 0.0

@@ -642,9 +642,16 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
                          cache_dir: str | None = None,
                          num_prefetch: int = 2,
                          num_workers: int | None = None,
-                         frame_bucket: int | None = None) -> Iterator[dict]:
+                         frame_bucket: int | None = None,
+                         yield_keys: bool = False) -> Iterator[dict]:
     """Infinite iterator of FRAME-DEDUPLICATED compact train batches for
     ``preprocess_rois_grouped(train=True)``.
+
+    ``yield_keys=True`` replaces the stacked ``"frames"`` tensors with
+    ``"frame_slots"``: a list of ``(cache_key | None, frame_dict)`` per
+    frame slot, for the device-resident frame cache
+    (data/device_cache.py). key=None marks a private (bg-replaced)
+    frame whose pixels differ per visit and must stream.
 
     Yields ``{"frames": {...}, "rois": {...}}`` where frames carry uint8
     RGB + raw uint16 depth (+factor, K) with one slot per distinct frame,
@@ -733,7 +740,7 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
             out.append((private, roi))
         if not out:
             return None
-        return frame, out
+        return base["rgb_path"], frame, out
 
     def producer():
         from collections import Counter, deque
@@ -749,6 +756,7 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
             return ex.submit(_decode_group, frame_groups[gi], n)
 
         frames_l: list[dict] = []
+        keys_l: list[str | None] = []
         rois_l: list[dict] = []
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
             futs: deque = deque(_submit(ex)
@@ -759,7 +767,7 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
                 group = fut.result()
                 if group is None:
                     continue
-                base_frame, inst = group
+                base_key, base_frame, inst = group
                 base_idx = None  # lazily claim a slot for the shared frame
                 for private, roi in inst:
                     if len(rois_l) == bs:
@@ -767,10 +775,12 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
                     if private is not None:
                         fidx = len(frames_l)
                         frames_l.append(private)
+                        keys_l.append(None)  # per-visit pixels: stream
                     else:
                         if base_idx is None:
                             base_idx = len(frames_l)
                             frames_l.append(base_frame)
+                            keys_l.append(base_key)
                         fidx = base_idx
                     roi = dict(roi)
                     roi["frame_idx"] = np.int32(fidx)
@@ -782,13 +792,16 @@ def train_group_iterator(cfg: Config, split_name: str | list[str],
                     Fpad = min(-(-F // frame_bucket) * frame_bucket, bs)
                     while len(frames_l) < Fpad:
                         frames_l.append(frames_l[-1])
+                        keys_l.append(keys_l[-1])
                     _pad_roi_crops(rois_l,
                                    int(getattr(cfg.data, "crop_pad", 64)))
-                    q.put({
-                        "frames": _stack(frames_l),
-                        "rois": _stack(rois_l),
-                    })
-                    frames_l, rois_l = [], []
+                    batch = {"rois": _stack(rois_l)}
+                    if yield_keys:
+                        batch["frame_slots"] = list(zip(keys_l, frames_l))
+                    else:
+                        batch["frames"] = _stack(frames_l)
+                    q.put(batch)
+                    frames_l, keys_l, rois_l = [], [], []
 
     def producer_guard():
         try:

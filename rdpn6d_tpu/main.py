@@ -221,14 +221,25 @@ def main(argv=None):
             from .data.loader import train_group_iterator
             from .data.pipeline import preprocess_rois_grouped
 
+            dev_cache = None
+            if cfg.data.device_frame_cache_mb > 0:
+                from .data.device_cache import DeviceFrameCache
+
+                dev_cache = DeviceFrameCache(
+                    cfg.data.device_frame_cache_mb << 20)
             for gb in train_group_iterator(
                     cfg, split_name, seed=seed, batch_size=bs_local,
                     cache_dir=f"{cfg.train.output_dir}/cache",
-                    frame_bucket=cfg.data.frame_bucket):
+                    frame_bucket=cfg.data.frame_bucket,
+                    yield_keys=dev_cache is not None):
                 key, sub = jax.random.split(key)
+                if dev_cache is not None:
+                    frames = dev_cache.stack(gb["frame_slots"])
+                else:
+                    frames = {k: jnp.asarray(v)
+                              for k, v in gb["frames"].items()}
                 yield preprocess_rois_grouped(
-                    cfg,
-                    {k: jnp.asarray(v) for k, v in gb["frames"].items()},
+                    cfg, frames,
                     {k: jnp.asarray(v) for k, v in gb["rois"].items()},
                     sub, train=True)
             return

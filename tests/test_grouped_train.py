@@ -357,3 +357,77 @@ def test_cli_train_grouped(multi_instance_ds, monkeypatch, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "ckpt"))
     metrics = open(os.path.join(out_dir, "metrics.json")).read().strip()
     assert "total_loss" in metrics
+
+
+def test_device_frame_cache_bit_identical_and_bounded(multi_instance_ds,
+                                                      monkeypatch):
+    """Device-resident frame LRU (data/device_cache.py): identical
+    batches to the streaming path, hits after warmup, byte cap held."""
+    root, _ = multi_instance_ds
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", root)
+    from rdpn6d_tpu.data.bop import Split, register_split
+    from rdpn6d_tpu.data.device_cache import DeviceFrameCache
+    from rdpn6d_tpu.data.loader import train_group_iterator
+
+    register_split(Split("mi_train_devc", "lm", "train", scene_ids=(1,)))
+    cfg = Config().apply_opts(["head.num_regions=4"])
+    assets = synthetic_class_assets(num_regions=4)
+    dec = RecordDecoder(cfg, assets, num_pm_points=64)
+
+    kw = dict(decoder=dec, batch_size=2 * N_INST, seed=3, frame_bucket=1)
+    it_stream = train_group_iterator(cfg, "mi_train_devc", **kw)
+    it_keys = train_group_iterator(cfg, "mi_train_devc", yield_keys=True,
+                                   **kw)
+    cache = DeviceFrameCache(64 << 20)
+    for step in range(3):
+        bs_ = next(it_stream)
+        bk = next(it_keys)
+        stacked = cache.stack(bk["frame_slots"])
+        for k in bs_["frames"]:
+            np.testing.assert_array_equal(
+                np.asarray(stacked[k]), bs_["frames"][k])
+        np.testing.assert_array_equal(np.asarray(bk["rois"]["bbox"]),
+                                      bs_["rois"]["bbox"])
+    # only 2 distinct frames exist: everything after step 0 must hit
+    assert cache.hits > 0 and len(cache) == 2
+    assert cache.misses == 2
+
+    # byte cap: a cap of ~1 frame keeps at most one resident
+    one_frame = cache.resident_bytes // 2
+    small = DeviceFrameCache(one_frame + 1)
+    for _ in range(2):
+        small.stack(next(it_keys)["frame_slots"])
+    assert small.resident_bytes <= one_frame + 1
+    assert len(small) <= 1
+
+
+def test_device_frame_cache_private_frames_stream(multi_instance_ds,
+                                                  monkeypatch, tmp_path):
+    """bg-replaced private frames carry key=None and never enter the
+    cache — per-visit pixels must not be pinned."""
+    import cv2
+
+    root, _ = multi_instance_ds
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", root)
+    from rdpn6d_tpu.data.bop import Split, register_split
+    from rdpn6d_tpu.data.device_cache import DeviceFrameCache
+    from rdpn6d_tpu.data.loader import train_group_iterator
+
+    bg_dir = tmp_path / "bg"
+    bg_dir.mkdir()
+    cv2.imwrite(str(bg_dir / "b.png"),
+                np.full((32, 32, 3), 200, np.uint8))
+    register_split(Split("mi_train_devp", "lm", "train", scene_ids=(1,)))
+    cfg = Config().apply_opts([
+        "head.num_regions=4", "data.change_bg_prob=1.0",
+        f'data.bg_images_dir="{str(bg_dir)}"'])
+    assets = synthetic_class_assets(num_regions=4)
+    dec = RecordDecoder(cfg, assets, num_pm_points=64)
+    it = train_group_iterator(cfg, "mi_train_devp", decoder=dec,
+                              batch_size=2 * N_INST, seed=3,
+                              frame_bucket=1, yield_keys=True)
+    cache = DeviceFrameCache(64 << 20)
+    slots = next(it)["frame_slots"]
+    assert all(k is None for k, _ in slots)  # every ROI composited
+    cache.stack(slots)
+    assert len(cache) == 0 and cache.hits == 0

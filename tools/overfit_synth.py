@@ -142,6 +142,13 @@ def main():
                         "evidence rig for the production default "
                         "(VERDICT r3 #8)")
     p.add_argument("--lr", type=float, default=0.0003)
+    p.add_argument("--seed", type=int, default=0,
+                   help="scene-render + train seed (multi-seed gate runs, "
+                        "VERDICT r3 #4)")
+    p.add_argument("--int8-stages", action="store_true",
+                   help="with --int8: also evaluate trunk0..trunk3 "
+                        "(quantize ONE trunk stage at a time) for the "
+                        "per-stage rotation-sensitivity attribution")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -155,6 +162,7 @@ def main():
     from rdpn6d_tpu.parallel import make_eval_step
 
     opts = ["solver.warmup_iters=10", f"solver.base_lr={args.lr}",
+            f"train.seed={args.seed}",
             f'train.output_dir="{args.out}"', "train.log_period=25",
             "data.color_aug_prob=0.0",
             # a 300-step overfit cannot move the reference tiny-init
@@ -170,10 +178,11 @@ def main():
 
     batch, model_pts, poses = build_scenes(cfg, args.n_views,
                                            cfg.head.num_regions,
-                                           mesh=args.mesh)
+                                           seed=args.seed, mesh=args.mesh)
     model = RDPN(cfg, dtype=jnp.bfloat16 if not args.small
                  else jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = model.init(jax.random.PRNGKey(args.seed), batch,
+                           train=False)
 
     trainer = Trainer(cfg, model, variables, total_iters=args.steps)
 
@@ -187,7 +196,10 @@ def main():
     if args.kabsch:
         modes.append(("bf16+kabsch", model, True))
     if args.int8:
-        for gran in ("all", "trunk", "head"):
+        grans = ["all", "trunk", "head"]
+        if args.int8_stages:
+            grans += [f"trunk{s}" for s in range(4)]
+        for gran in grans:
             modes.append((f"int8-{gran}",
                           RDPN(cfg, dtype=model.dtype, int8=gran), False))
         # static-calibrated scales (models/quant.calibrate_quant):
