@@ -232,11 +232,14 @@ class TestConfig:
     plots: bool = True              # dump recall-vs-threshold curve CSVs
     # (+PNGs when matplotlib exists) next to the BOP CSV — the
     # counterpart of the reference's lib/pysixd/eval_plots.py
-    int8_static: bool = False        # calibrated static activation
-    # scales: calibrate on the first eval batch, then serve with scalar
-    # requant scales (no dynamic absmax reductions). Measured 1.16x
-    # FASTER than bf16 at head granularity with exact accuracy
-    # preservation (PERF.md round 3); dynamic mode measured slower.
+    int8_static: Any = False         # False | True | "per_channel":
+    # calibrated static activation scales — calibrate on the first eval
+    # batch, then serve with compile-time requant scales (no dynamic
+    # absmax reductions). Measured 1.16x FASTER than bf16 at head
+    # granularity (PERF.md round 3); dynamic mode measured slower.
+    # "per_channel" calibrates one scale per input channel, absorbed
+    # into the weights (models/quant.py Int8Conv) — for trunk modes
+    # where per-tensor scales lose rotation accuracy.
     int8: str = ""                   # "" | head | trunk | all — W8A8
     # serving mode (models/quant.py); "head" preserves accuracy (see
     # PERF.md), but bf16 measured faster on v5e — experimental opt-in

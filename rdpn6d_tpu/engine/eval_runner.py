@@ -153,7 +153,9 @@ def run_eval(cfg: Config, ckpt_dir: str, split_name: str,
     n_gts = dict(n_gts)  # the evaluator may hold it; never share the memo's
 
     want_int8 = cfg.test.int8 or False
-    want_static = bool(cfg.test.int8 and cfg.test.int8_static)
+    # False | True | "per_channel" — preserved verbatim so the string
+    # mode reaches Int8Conv.static_act
+    want_static = cfg.test.int8_static if cfg.test.int8 else False
     if model is not None and (model.int8, model.int8_static) != \
             (want_int8, want_static):
         # periodic-eval path: the trainer's bf16 model cannot record the

@@ -42,7 +42,7 @@ class DenseHead(nn.Module):
     gn_groups: int = 32
     dtype: Any = jnp.float32
     int8: bool = False              # quantize the body convs (models/quant.py)
-    int8_static: bool = False       # calibrated static activation scales
+    int8_static: Any = False        # False | True | "per_channel"
     init_mode: str = "reference"         # reference tiny-init | fan_in (config.py)
 
     @nn.compact

@@ -42,7 +42,7 @@ class RDPN(nn.Module):
     # trunk stage only — per-stage sensitivity attribution, PERF.md
     # round 4). Same param tree as the bf16 model, so bf16-trained
     # checkpoints serve in int8 directly.
-    int8_static: bool = False       # calibrated static activation scales
+    int8_static: Any = False        # False | True | "per_channel"
     # (models/quant.calibrate_quant): removes the per-conv dynamic absmax
     # reductions that block XLA fusion in dynamic mode
 

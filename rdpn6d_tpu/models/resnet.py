@@ -31,7 +31,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     int8: bool = False              # W8A8 serving mode (models/quant.py)
-    int8_static: bool = False       # calibrated static activation scales
+    int8_static: Any = False        # False | True | "per_channel"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,7 +58,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     int8: bool = False
-    int8_static: bool = False
+    int8_static: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -89,7 +89,7 @@ class ResNetTrunk(nn.Module):
     depth: int = 34
     dtype: Any = jnp.float32
     int8: bool = False              # W8A8 serving mode (models/quant.py)
-    int8_static: bool = False       # calibrated static activation scales
+    int8_static: Any = False        # False | True | "per_channel"
     int8_stages: Any = None         # None = all stages when int8; else a
     # 4-tuple of bools selecting which stages quantize (per-stage int8
     # sensitivity attribution, PERF.md round 4)

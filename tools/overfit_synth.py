@@ -207,12 +207,19 @@ def main():
         # blocker that made dynamic int8 net-slower than bf16 (PERF.md)
         from rdpn6d_tpu.models.quant import calibrate_quant
 
-        for gran in ("all", "head"):
+        for gran, static in (("all", True), ("head", True),
+                             # per-input-channel calibrated scales,
+                             # absorbed into the weights — the rescue
+                             # attempt for trunk modes, where per-tensor
+                             # scales lose rotation (PERF.md round 3)
+                             ("all", "per_channel"),
+                             ("trunk", "per_channel")):
             m_s = RDPN(cfg, dtype=model.dtype, int8=gran,
-                       int8_static=True)
+                       int8_static=static)
             q = calibrate_quant(m_s, state.params, state.batch_stats,
                                 [batch])
-            modes.append((f"int8-{gran}-static", (m_s, q), False))
+            sfx = "static" if static is True else "staticpc"
+            modes.append((f"int8-{gran}-{sfx}", (m_s, q), False))
     for tag, eval_model, use_kabsch in modes:
         quant = None
         if isinstance(eval_model, tuple):
