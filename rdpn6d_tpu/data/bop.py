@@ -564,6 +564,17 @@ def _register_defaults() -> None:
                          objs=("ape", "can", "driller"),
                          filter_invalid=False,
                          targets_file="test_targets_mini.json"))
+    # single-object mini splits — the SO-protocol rehearsal (the
+    # reference's LM results are per-object models, configs/gdrn/lmSO/);
+    # same rendered tree, train/eval restricted to one object (BOP19
+    # targets filtered to the split's objects in eval_runner)
+    for _obj in ("ape", "can", "driller"):
+        register_split(Split(f"lm_mini_{_obj}_train", "lm", "train",
+                             scene_ids=(91,), objs=(_obj,)))
+        register_split(Split(f"lm_mini_{_obj}_test", "lm", "test",
+                             scene_ids=(92,), objs=(_obj,),
+                             filter_invalid=False,
+                             targets_file="test_targets_mini.json"))
     # blender renders (lm_blender.py:301-340: BB8 training set)
     register_split(Split("lm_blender_13_train", "lm_renders_blender",
                          "renders", objs=LM13_OBJECTS,

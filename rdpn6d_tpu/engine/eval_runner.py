@@ -54,6 +54,13 @@ def _eval_setup(cfg: Config, split_name: str, split: Any, ref: Any,
         if os.path.exists(tpath):
             from ..data.bop import load_bop19_targets
             targets = load_bop19_targets(ref, split.targets_file)
+            if split.objs:
+                # object-subset split (SO protocol): the split defines
+                # the evaluation universe — score only its objects'
+                # targets (the reference's per-object eval does the
+                # same via per-object target lists)
+                sel = {ref.obj2id[o] for o in split.objs}
+                targets = [t for t in targets if t["obj_id"] in sel]
             tset = {(t["scene_id"], t["im_id"], t["obj_id"])
                     for t in targets}
             n_before = len(records)

@@ -430,3 +430,38 @@ def test_run_eval_int8_static(full_dataset, monkeypatch, tmp_path):
     assert 0.0 <= rec["ad_10"] <= 100.0
     csv = (tmp_path / "q.csv").read_text().strip().splitlines()
     assert len(csv) == 4
+
+
+def test_bop19_targets_filtered_by_split_objs(full_dataset, monkeypatch,
+                                              tmp_path):
+    """An object-subset split (SO protocol, e.g. lm_mini_<obj>_*) must
+    score ONLY its objects' BOP19 targets — other objects' targets in a
+    shared targets file would otherwise count as unmatched misses."""
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", full_dataset)
+    targets = [
+        {"scene_id": 1, "im_id": 0, "obj_id": 1, "inst_count": 1},
+        {"scene_id": 1, "im_id": 2, "obj_id": 1, "inst_count": 1},
+        # benchvise: present in the shared targets file, NOT in the split
+        {"scene_id": 1, "im_id": 0, "obj_id": 2, "inst_count": 1},
+    ]
+    tpath = os.path.join(full_dataset, "lm", "targets_so.json")
+    with open(tpath, "w") as f:
+        json.dump(targets, f)
+    register_split(Split("tiny_eval_so", "lm", "test", scene_ids=(1,),
+                         objs=("ape",), filter_invalid=False,
+                         targets_file="targets_so.json"))
+
+    from rdpn6d_tpu.data.bop import get_split
+    from rdpn6d_tpu.data.refs import get_ref
+    from rdpn6d_tpu.engine.eval_runner import _eval_setup
+
+    cfg = Config().apply_opts([
+        "backbone.depth=18", "backbone.input_res=64", "head.out_res=16",
+        "head.num_regions=4", "head.num_filters=32",
+        "data.input_res=64", "data.out_res=16",
+        f'train.output_dir="{tmp_path}"',
+    ])
+    split = get_split("tiny_eval_so")
+    _, tgts, n_gts, _, _, _, _ = _eval_setup(
+        cfg, "tiny_eval_so", split, get_ref(split.ref_name), None)
+    assert len(tgts) == 2 and all(t["obj_id"] == 1 for t in tgts), tgts

@@ -87,6 +87,11 @@ def main():
     p.add_argument("--skip-train", action="store_true",
                    help="reuse an existing checkpoint in --run")
     p.add_argument("--gate", action="store_true")
+    p.add_argument("--obj", default="",
+                   help="single-object (SO) rehearsal: train/eval only "
+                        "this object via the lm_mini_<obj>_* splits — "
+                        "the reference's LM protocol trains one model "
+                        "per object (configs/gdrn/lmSO/)")
     p.add_argument("--eval-train", action="store_true",
                    help="also GT-bbox-eval the TRAIN split: separates "
                         "'eval path broken' (train ALSO scores 0) from "
@@ -115,8 +120,12 @@ def main():
          "--objs", "ape", "can", "driller"], env)
     run([py, "tools/gen_xyz_crop.py", "--split", "lm_mini_train"], env)
 
+    tr_split = f"lm_mini_{args.obj}_train" if args.obj else "lm_mini_train"
+    te_split = f"lm_mini_{args.obj}_test" if args.obj else "lm_mini_test"
     opts = [f'train.output_dir="{args.run}"',
-            f"solver.total_epochs={args.epochs}", *args.opts]
+            f"solver.total_epochs={args.epochs}",
+            f'data.train_datasets=["{tr_split}"]',
+            f'data.test_datasets=["{te_split}"]', *args.opts]
     if not args.skip_train:
         resume = ["--resume"] if args.resume else []
         run([py, "-m", "rdpn6d_tpu.main", "--config-file",
@@ -126,7 +135,7 @@ def main():
     gt_json = os.path.join(args.run, "metrics_gt_bbox.json")
     run([py, "tools/eval_split.py", "--config-file", "configs/mini.py",
          "--ckpt-dir", os.path.join(args.run, "ckpt"),
-         "--split", "lm_mini_test", "--json", gt_json,
+         "--split", te_split, "--json", gt_json,
          "--csv", os.path.join(args.run, "gt_bbox.csv"),
          "--opts", *opts], env,
         log=os.path.join(args.run, "eval_gt_log.txt"))
@@ -137,12 +146,12 @@ def main():
                         "detections_mini.json")
     run([py, "tools/eval_split.py", "--config-file", "configs/mini.py",
          "--ckpt-dir", os.path.join(args.run, "ckpt"),
-         "--split", "lm_mini_test", "--dets", dets, "--json", est_json,
+         "--split", te_split, "--dets", dets, "--json", est_json,
          "--csv", est_csv, "--opts", *opts], env,
         log=os.path.join(args.run, "eval_est_log.txt"))
 
     rescore_out = run([py, "tools/score_csv.py", "--csv", est_csv,
-                       "--split", "lm_mini_test", "--bop19"], env,
+                       "--split", te_split, "--bop19"], env,
                       log=os.path.join(args.run, "rescore_log.txt"))
 
     train_mean = None
@@ -150,7 +159,7 @@ def main():
         tr_json = os.path.join(args.run, "metrics_train_split.json")
         run([py, "tools/eval_split.py", "--config-file", "configs/mini.py",
              "--ckpt-dir", os.path.join(args.run, "ckpt"),
-             "--split", "lm_mini_train", "--json", tr_json,
+             "--split", tr_split, "--json", tr_json,
              "--csv", os.path.join(args.run, "train_bbox.csv"),
              "--opts", *opts,
              'test.error_types="ad,adi,re,te,proj"'], env,
