@@ -157,6 +157,7 @@ def main() -> None:
     # is the honest hardware-utilization figure: bf16 mode throughput x
     # analytic FLOPs/pose / the 197 TFLOP/s bf16 peak.
     mode, best = "bf16", best_bf16
+    int8_speedup = None  # probe crashed / not run
     try:
         from rdpn6d_tpu.models.quant import calibrate_quant
 
@@ -169,6 +170,10 @@ def main() -> None:
                                 variables.get("batch_stats", {}), [pre])
         pps_q, _ = _measure(m_q, {**variables, "quant": quant},
                             best_bs, cfg)
+        # always reported when measured — a <1.0 value means "int8
+        # measured slower" (headline stays bf16), DISTINCT from null =
+        # "probe crashed"
+        int8_speedup = round(pps_q / best_bf16, 3)
         if pps_q > best:
             best, mode = pps_q, "int8-head-static"
     except Exception:
@@ -196,8 +201,7 @@ def main() -> None:
         "gflop_per_pose": round(best_fpp / 1e9, 2),
         "bf16_poses_per_sec": round(best_bf16, 2),
         "mfu_bf16_pct": round(mfu_bf16 * 100.0, 2),
-        "int8_speedup": round(best / best_bf16, 3) if mode != "bf16"
-        else None,
+        "int8_speedup": int8_speedup,
     }))
 
 

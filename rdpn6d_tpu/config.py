@@ -276,11 +276,13 @@ class Config:
                 value = json.loads(raw)
             except json.JSONDecodeError:
                 value = raw
-            if value in ("True", "False"):
-                # Python-style bools: json.loads only accepts lowercase,
-                # and a fall-through string "False" is TRUTHY — a silent
-                # flag inversion a CLI user would never notice
-                value = value == "True"
+                if value in ("True", "False"):
+                    # Python-style BARE-WORD bools: json.loads only
+                    # accepts lowercase, and a fall-through string
+                    # "False" is TRUTHY — a silent flag inversion a CLI
+                    # user would never notice. An explicitly quoted
+                    # '"True"' json-parses above and stays a string.
+                    value = value == "True"
             if isinstance(value, list):  # keep configs hashable (jit static)
                 value = tuple(value)
             if len(parts) == 1:

@@ -357,10 +357,8 @@ class RecordDecoder:
                     xyz16 = np.ascontiguousarray(
                         info["crop"].astype(np.float16))
                 else:
-                    full = np.zeros((H, W, 3), np.float32)
-                    full[y1:y2 + 1, x1:x2 + 1] = info["crop"].astype(
-                        np.float32)
-                    xyz16 = full.astype(np.float16)
+                    xyz16 = self._xyz_full(
+                        rec["xyz_path"], H, W).astype(np.float16)
                 if mask_visib is None:
                     mask_visib = np.zeros((H, W), np.float32)
                     mask_visib[y1:y2 + 1, x1:x2 + 1] = (
@@ -496,21 +494,26 @@ def _stack(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
 def _pad_roi_crops(rois: list[dict[str, np.ndarray]],
                    pad_bucket: int) -> None:
     """Zero-pad per-ROI GT crops (``xyz`` + ``mask_packed`` shipped with
-    an ``xyz_offset``) to one square batch side, rounded up to
-    ``pad_bucket`` so jit sees few distinct shapes. Zero padding is
-    semantics-free: the device graph treats out-of-crop pixels as zero
-    either way. In-place."""
+    an ``xyz_offset``) to the RECTANGULAR batch-max (H, W), each rounded
+    up to ``pad_bucket`` so jit sees few distinct shapes. Rectangular
+    (not square): one wide object (e.g. a 640-px-wide close-up box)
+    would otherwise inflate every crop in the batch to side x side and
+    exceed the full-frame bytes this path exists to save. Zero padding
+    is semantics-free: the device graph treats out-of-crop pixels as
+    zero either way. In-place."""
     if not rois or "xyz_offset" not in rois[0]:
         return
-    side = max(max(r["xyz"].shape[0], r["xyz"].shape[1]) for r in rois)
-    side = -(-side // pad_bucket) * pad_bucket
+    ph = max(r["xyz"].shape[0] for r in rois)
+    pw = max(r["xyz"].shape[1] for r in rois)
+    ph = -(-ph // pad_bucket) * pad_bucket
+    pw = -(-pw // pad_bucket) * pad_bucket
     for r in rois:
         h, w = r["xyz"].shape[:2]
-        if h == side and w == side:
+        if h == ph and w == pw:
             continue
-        xyz = np.zeros((side, side, 3), r["xyz"].dtype)
+        xyz = np.zeros((ph, pw, 3), r["xyz"].dtype)
         xyz[:h, :w] = r["xyz"]
-        mp = np.zeros((side, side), r["mask_packed"].dtype)
+        mp = np.zeros((ph, pw), r["mask_packed"].dtype)
         mp[:h, :w] = r["mask_packed"]
         r["xyz"], r["mask_packed"] = xyz, mp
 

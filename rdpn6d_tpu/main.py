@@ -212,6 +212,15 @@ def main(argv=None):
     # distinct per-host PRNG stream for DZI/color-aug draws
     key = jax.random.fold_in(key, jax.process_index())
 
+    # ONE device frame cache shared by the main and TRAIN2 loaders (keys
+    # are rgb paths — globally unique): two caches would pin up to
+    # 2x device_frame_cache_mb of HBM with no shared accounting
+    dev_cache = None
+    if cfg.data.grouped_train and cfg.data.device_frame_cache_mb > 0:
+        from .data.device_cache import DeviceFrameCache
+
+        dev_cache = DeviceFrameCache(cfg.data.device_frame_cache_mb << 20)
+
     def device_batches(split_name: str, seed: int = 0):
         nonlocal key
         if cfg.data.grouped_train:
@@ -220,13 +229,6 @@ def main(argv=None):
             # f16/packed-uint8 (4-5x less step input than the flat path)
             from .data.loader import train_group_iterator
             from .data.pipeline import preprocess_rois_grouped
-
-            dev_cache = None
-            if cfg.data.device_frame_cache_mb > 0:
-                from .data.device_cache import DeviceFrameCache
-
-                dev_cache = DeviceFrameCache(
-                    cfg.data.device_frame_cache_mb << 20)
             for gb in train_group_iterator(
                     cfg, split_name, seed=seed, batch_size=bs_local,
                     cache_dir=f"{cfg.train.output_dir}/cache",

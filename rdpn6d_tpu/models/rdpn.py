@@ -57,6 +57,11 @@ class RDPN(nn.Module):
         if isinstance(self.int8, str) and len(self.int8) == 6 \
                 and self.int8.startswith("trunk") and self.int8[5].isdigit():
             n = int(self.int8[5])
+            if n > 3:
+                # an all-False mask would silently quantize NOTHING
+                # while reporting itself as int8-trunkN
+                raise ValueError(
+                    f"int8={self.int8!r}: trunk stages are trunk0..trunk3")
             return tuple(s == n for s in range(4))
         return None
 
@@ -68,6 +73,13 @@ class RDPN(nn.Module):
     def __call__(self, batch: dict[str, jax.Array], train: bool = False,
                  drop_scale=1.0):
         cfg = self.cfg
+        if self.int8 not in (False, "", True, "all", "head", "trunk") \
+                and self._trunk_stage_mask is None:
+            # an unrecognized mode would silently serve full precision
+            # while logs/CSVs attribute the numbers to int8
+            raise ValueError(
+                f"int8={self.int8!r}: expected False|True|'all'|'head'|"
+                "'trunk'|'trunk0'..'trunk3'")
         head_cfg, pnp_cfg = cfg.head, cfg.pnp
         roi_img = batch["roi_img"]          # [B, 256, 256, 6] rgb+depth_xyz
         rgb = roi_img[..., :3].astype(self.dtype)

@@ -30,9 +30,14 @@ import re
 import subprocess
 import sys
 
+# values may be "nan" on a degenerate eval — parse them, don't drop the
+# whole RESULT line (a dropped tag used to KeyError the aggregation
+# AFTER all seeds had already burned their chip time)
+_NUM = r"(?:[\d.]+|nan|inf)"
 RESULT_RE = re.compile(
-    r"RESULT\[(?P<tag>[^\]]+)\] ad_10=(?P<ad_10>[\d.]+) "
-    r"re_5=(?P<re_5>[\d.]+) te_2=(?P<te_2>[\d.]+) AUCad=(?P<AUCad>[\d.]+)")
+    r"RESULT\[(?P<tag>[^\]]+)\] ad_10=(?P<ad_10>%s) "
+    r"re_5=(?P<re_5>%s) te_2=(?P<te_2>%s) AUCad=(?P<AUCad>%s)"
+    % (_NUM, _NUM, _NUM, _NUM))
 
 
 def run_seed(seed: int, mesh: str, workdir: str) -> dict[str, dict]:
@@ -40,6 +45,7 @@ def run_seed(seed: int, mesh: str, workdir: str) -> dict[str, dict]:
            "--int8", "--int8-stages", "--seed", str(seed),
            "--out", os.path.join(workdir, f"seed{seed}")]
     proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=2400,  # a hung seed must not block the sweep forever
                           cwd=os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))))
     if proc.returncode != 0:
@@ -71,15 +77,22 @@ def main():
               + ", ".join(f"{t}:re_5={v['re_5']:.1f}"
                           for t, v in per_seed[s].items()))
 
-    tags = list(per_seed[0])
+    # union of tags in first-seen order, tolerant of a seed missing one
+    # (crashed/unparsed mode): aggregate over the seeds that have it
+    tags = list(dict.fromkeys(
+        t for res in per_seed.values() for t in res))
     print(f"\n{args.seeds}-seed gate sweep ({args.mesh}):")
     print(f"{'mode':>18} | " + " | ".join(
         f"{k:>16}" for k in ("ad_10", "re_5", "te_2", "AUCad")))
     agg = {}
     for t in tags:
         row = {}
+        have = [s for s in per_seed if t in per_seed[s]]
+        if len(have) < len(per_seed):
+            print(f"WARNING: {t} present in only {len(have)}/"
+                  f"{len(per_seed)} seeds")
         for k in ("ad_10", "re_5", "te_2", "AUCad"):
-            vals = [per_seed[s][t][k] for s in per_seed]
+            vals = [per_seed[s][t][k] for s in have]
             lo, hi = min(vals), max(vals)
             mean = sum(vals) / len(vals)
             row[k] = {"mean": mean, "min": lo, "max": hi}
