@@ -86,8 +86,11 @@ def main():
                            if flops else None,
             }), flush=True)
 
+    # 6 channels like the real model (rgb + depth-xyz): the HLO-level
+    # suspect is the thin-channel input relayout copy, which depends on
+    # the channel count
     bench("trunk_r34_256px", ResNetTrunk(depth=34, dtype=jnp.bfloat16),
-          (256, 256, 3))
+          (256, 256, 6))
     # flagship head: 32^2x1024 fused pointnet input (rdpn.py:93),
     # 3 layers x 2 convs @ 64^2 x 256
     bench("dense_head_64px",
