@@ -159,6 +159,14 @@ class DataConfig:
     # applies the reference-exact IMAGE-level repeat factors here.
     # false = legacy flat per-instance path (float32 full frames per ROI).
     frame_bucket: int = 8           # frame-axis pad bucket (grouped path)
+    fused_train_step: bool = True   # grouped path, single process: fuse
+    # preprocessing into the train step — ONE compiled program per
+    # iteration. Kills the jit-boundary relayout copy the trunk's
+    # thin-channel stem otherwise pays (HLO finding, tools/bench_layout),
+    # shards the per-ROI preprocess graph over the mesh with the model,
+    # and saves a dispatch. Multi-host falls back to the two-program
+    # path automatically (frames differ per host). false = always
+    # two programs (debug fallback).
     ship_crops: bool = True         # grouped path: ship per-ROI GT xyz +
     # packed masks as TIGHT CROPS (the xyz map's own nonzero bbox) with a
     # [2] offset instead of full frames — bit-exact (everything the train

@@ -157,3 +157,75 @@ def render_cube_depth(R: np.ndarray, t: np.ndarray, K: np.ndarray,
             depth[vv[i], uu[i]] = zz[i]
             xyz[vv[i], uu[i]] = mm[i]
     return depth, xyz
+
+
+def dummy_grouped_inputs(cfg: Config, n_frames: int = 2,
+                         rois_per_frame: int = 2, seed: int = 0,
+                         num_points: int = 64,
+                         im_hw: tuple[int, int] = (120, 160)):
+    """In-memory RAW grouped train inputs ``(frames, rois)`` for the
+    fused preprocess+train step (parallel.make_fused_sharded_train_step)
+    — the pre-``preprocess_rois_grouped`` layout the grouped loader
+    ships, fabricated without any on-disk dataset: per-frame cube scenes
+    rendered analytically, per-ROI GT in compact dtypes (packed uint8
+    masks, device-derived coords from the depth surface)."""
+    rng = np.random.RandomState(seed)
+    H, W = im_hw
+    K = np.array([[140.0, 0, W / 2], [0, 140.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    pts = cube_points()
+    fps_idx = fps_numpy(pts, cfg.head.num_regions)
+    fps = pts[fps_idx].astype(np.float32)
+    model_points = pts[rng.choice(len(pts), num_points)].astype(np.float32)
+    extent = np.array([0.1, 0.1, 0.1], np.float32)
+
+    frames = {"rgb": [], "depth": [], "K": []}
+    rois: dict[str, list] = {
+        k: [] for k in ("frame_idx", "bbox", "mask_packed", "gt_rot",
+                        "gt_trans", "fps", "extent", "centroid_2d",
+                        "roi_points", "sym_rots", "roi_cls", "K")}
+    for f in range(n_frames):
+        depth_full = np.zeros((H, W), np.float32)
+        insts = []
+        for i in range(rois_per_frame):
+            g = rng.randn(3, 3)
+            q, r = np.linalg.qr(g)
+            R = (q * np.sign(np.diag(r))[None, :]).astype(np.float32)
+            if np.linalg.det(R) < 0:
+                R[:, 0] *= -1
+            t = np.array([-0.08 + 0.16 * i / max(rois_per_frame - 1, 1),
+                          rng.uniform(-0.02, 0.02),
+                          rng.uniform(0.55, 0.7)], np.float32)
+            d, _ = render_cube_depth(R, t, K, H, W)
+            mask = d > 0
+            assert mask.any(), "cube rendered outside the dummy frame"
+            depth_full = np.where(mask & ((depth_full == 0)
+                                          | (d < depth_full)),
+                                  d, depth_full)
+            insts.append((R, t, mask))
+        frames["rgb"].append(rng.randint(0, 255, (H, W, 3)).astype(
+            np.uint8))
+        frames["depth"].append(depth_full)
+        frames["K"].append(K)
+        for R, t, mask in insts:
+            ys, xs = np.nonzero(mask)
+            proj = K @ t
+            rois["frame_idx"].append(np.int32(f))
+            rois["bbox"].append(np.array(
+                [xs.min(), ys.min(), xs.max(), ys.max()], np.float32))
+            rois["mask_packed"].append(
+                (mask.astype(np.uint8) | (mask.astype(np.uint8) << 1)))
+            rois["gt_rot"].append(R)
+            rois["gt_trans"].append(t)
+            rois["fps"].append(fps)
+            rois["extent"].append(extent)
+            rois["centroid_2d"].append((proj[:2] / proj[2]).astype(
+                np.float32))
+            rois["roi_points"].append(model_points)
+            rois["sym_rots"].append(np.tile(np.eye(3, dtype=np.float32),
+                                            (4, 1, 1)))
+            rois["roi_cls"].append(np.int32(0))
+            rois["K"].append(K)
+    f_out = {k: jnp.asarray(np.stack(v)) for k, v in frames.items()}
+    r_out = {k: jnp.asarray(np.stack(v)) for k, v in rois.items()}
+    return f_out, r_out

@@ -46,6 +46,7 @@ class Trainer:
             create_train_state(cfg, variables, self.tx), self.mesh)
         self.step_fn = make_sharded_train_step(cfg, model, self.tx,
                                                self.mesh)
+        self._fused_step_fn = None  # built on the first raw grouped batch
         out_dir = cfg.train.output_dir
         # multi-host: only process 0 WRITES metrics/TB to the (shared)
         # output dir (the reference's save_to_disk=is_global_zero,
@@ -85,8 +86,22 @@ class Trainer:
             # TRAIN2 stochastic mixing (engine.py:253-256)
             use2 = loader2 is not None and rng.rand() < train2_ratio
             batch = next(loader2 if use2 else loader)
-            batch = shard_batch(batch, self.mesh)
-            self.state, metrics = self.step_fn(self.state, batch)
+            if "rois" in batch:
+                # RAW grouped batch (main.device_batches with
+                # data.fused_train_step): preprocessing is compiled into
+                # the step program — frames replicate, rois shard, and
+                # the jit's in_shardings do the placement
+                if self._fused_step_fn is None:
+                    from ..parallel import make_fused_sharded_train_step
+
+                    self._fused_step_fn = make_fused_sharded_train_step(
+                        self.cfg, self.model, self.tx, self.mesh)
+                self.state, metrics = self._fused_step_fn(
+                    self.state, batch["frames"], batch["rois"],
+                    batch["key"])
+            else:
+                batch = shard_batch(batch, self.mesh)
+                self.state, metrics = self.step_fn(self.state, batch)
 
             # EVERY-iteration finiteness guard with one step of lag: step
             # it-1 has finished by the time step it is dispatched, so the

@@ -229,6 +229,15 @@ def main(argv=None):
             # f16/packed-uint8 (4-5x less step input than the flat path)
             from .data.loader import train_group_iterator
             from .data.pipeline import preprocess_rois_grouped
+
+            # single process + fused_train_step: hand the trainer RAW
+            # (frames, rois, key) — preprocessing compiles INTO the
+            # train step (parallel.make_fused_sharded_train_step: no
+            # jit-boundary relayout copy, preprocess shards with the
+            # model, one dispatch/step). Multi-host keeps the
+            # two-program path: each host holds different frames, so
+            # the fused program's replicated frames array doesn't exist.
+            fused = cfg.data.fused_train_step and jax.process_count() == 1
             for gb in train_group_iterator(
                     cfg, split_name, seed=seed, batch_size=bs_local,
                     cache_dir=f"{cfg.train.output_dir}/cache",
@@ -240,10 +249,12 @@ def main(argv=None):
                 else:
                     frames = {k: jnp.asarray(v)
                               for k, v in gb["frames"].items()}
-                yield preprocess_rois_grouped(
-                    cfg, frames,
-                    {k: jnp.asarray(v) for k, v in gb["rois"].items()},
-                    sub, train=True)
+                rois = {k: jnp.asarray(v) for k, v in gb["rois"].items()}
+                if fused:
+                    yield {"frames": frames, "rois": rois, "key": sub}
+                else:
+                    yield preprocess_rois_grouped(cfg, frames, rois, sub,
+                                                  train=True)
             return
         for frames in train_frame_iterator(
                 cfg, split_name, seed=seed, batch_size=bs_local,

@@ -12,6 +12,7 @@ from .train_step import (
     TrainState,
     create_train_state,
     make_eval_step,
+    make_fused_sharded_train_step,
     make_sharded_train_step,
     make_train_step,
 )
@@ -20,5 +21,6 @@ __all__ = [
     "batch_sharding", "create_mesh", "gather_predictions",
     "replicate", "replicated", "shard_batch",
     "TrainState", "create_train_state", "make_eval_step",
-    "make_sharded_train_step", "make_train_step",
+    "make_fused_sharded_train_step", "make_sharded_train_step",
+    "make_train_step",
 ]

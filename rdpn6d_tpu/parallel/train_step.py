@@ -159,3 +159,48 @@ def make_sharded_train_step(cfg: Config, model: RDPN,
                    in_shardings=(state_sh, batch_sh),
                    out_shardings=(state_sh, state_sh),
                    donate_argnums=(0,))
+
+
+def make_fused_sharded_train_step(cfg: Config, model: RDPN,
+                                  tx: optax.GradientTransformation,
+                                  mesh: Mesh) -> Callable:
+    """Grouped preprocessing FUSED into the train step: ONE compiled
+    program per iteration, (state, frames, rois, key) -> (state, metrics).
+
+    Why one program instead of preprocess-jit -> train-jit:
+    - the jit boundary forces the 6-channel roi_img into the default
+      array layout, and the trunk's thin-channel stem conv then pays a
+      relayout ``copy`` kernel (~22% of trunk-forward estimated cycles
+      at bs=16 in the compiled HLO; tools/bench_layout.py measures the
+      same copy directly). Inside one program XLA's layout assignment
+      propagates the conv's preferred layout back into the crop/
+      backprojection producers — no copy, no boundary.
+    - preprocessing itself becomes SPMD: the per-ROI crop/backproject/
+      label graph shards over the mesh's data axis with the model,
+      instead of running on one device and device-to-device scattering
+      the result (shard_batch). Frames are replicated (uint8 full
+      frames, a few MB — trivial next to per-ROI activations) so each
+      ROI's dynamic frame gather stays device-local.
+    - one dispatch per step instead of two.
+
+    The per-ROI GT (xyz crops, packed masks) rides the ROI axis of
+    ``rois`` and shards with it. Single-process only: multi-host keeps
+    the two-program path (each host holds different frames, so a global
+    replicated frames array does not exist).
+    """
+    from ..data.pipeline import preprocess_rois_grouped
+
+    step_fn = _make_step_fn(cfg, model, tx)
+
+    def fused(state: TrainState, frames: dict[str, jax.Array],
+              rois: dict[str, jax.Array], key: jax.Array):
+        batch = preprocess_rois_grouped(cfg, frames, rois, key,
+                                        train=True)
+        return step_fn(state, batch)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(fused,
+                   in_shardings=(repl, repl, data, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
