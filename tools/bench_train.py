@@ -39,6 +39,12 @@ def main():
                         "and optimizer-only — the step-time breakdown "
                         "behind the MFU ceiling argument")
     p.add_argument("--opts", nargs="*", default=[])
+    p.add_argument("--grouped-ab", action="store_true",
+                   help="A/B the grouped input path at flagship frame "
+                        "size: two-program (preprocess jit -> step jit) "
+                        "vs fused single program, on identical raw "
+                        "inputs (batch-sizes = ROI counts; "
+                        "rois_per_frame=5, YCB-V-like density)")
     args = p.parse_args()
 
     import jax
@@ -62,6 +68,10 @@ def main():
 
     model = RDPN(cfg, dtype=jnp.bfloat16)
     peak = 197e12  # v5e bf16 (PERF.md: 394 is the int8 figure)
+
+    if args.grouped_ab:
+        _grouped_ab(cfg, args, peak)
+        return
 
     for bs in args.batch_sizes:
         batch = dummy_train_batch(cfg, batch_size=bs)
@@ -184,5 +194,85 @@ def main():
                                  jnp.float32(i))[0], "optimizer_only")
 
 
+
+
+def _grouped_ab(cfg, args, peak):
+    """Two-program grouped pipeline vs fused single program (see
+    parallel.make_fused_sharded_train_step): same raw (frames, rois),
+    same key stream. The two-program timing INCLUDES the preprocess
+    dispatch the plain bench excludes — that is the production cost the
+    fused path removes."""
+    import jax
+    import jax.numpy as jnp
+
+    from rdpn6d_tpu.data.pipeline import preprocess_rois_grouped
+    from rdpn6d_tpu.data.synthetic import dummy_grouped_inputs
+    from rdpn6d_tpu.models import RDPN
+    from rdpn6d_tpu.parallel import (create_mesh, create_train_state,
+                                     make_fused_sharded_train_step,
+                                     make_sharded_train_step, replicate,
+                                     shard_batch)
+    from rdpn6d_tpu.solver import build_optimizer
+
+    import time
+
+    mesh = create_mesh(1)
+    model = RDPN(cfg, dtype=jnp.bfloat16)
+    rpf = 5
+    for bs in args.batch_sizes:
+        n_frames = max(bs // rpf, 1)
+        frames, rois = dummy_grouped_inputs(
+            cfg, n_frames=n_frames, rois_per_frame=rpf,
+            im_hw=(480, 640))
+        n_rois = int(rois["frame_idx"].shape[0])
+        key = jax.random.PRNGKey(3)
+        batch0 = preprocess_rois_grouped(cfg, frames, rois, key,
+                                         train=True)
+        variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
+        tx = build_optimizer(cfg, total_iters=1000)
+        step_fn = make_sharded_train_step(cfg, model, tx, mesh)
+        fused_fn = make_fused_sharded_train_step(cfg, model, tx, mesh)
+        pre_jit = jax.jit(
+            lambda f, r, k: preprocess_rois_grouped(cfg, f, r, k,
+                                                    train=True))
+
+        def keyed(i):
+            return jax.random.fold_in(key, i)
+
+        def run_two(state, i):
+            b = pre_jit(frames, rois, keyed(i))
+            return step_fn(state, shard_batch(b, mesh))
+
+        def run_fused(state, i):
+            return fused_fn(state, frames, rois, keyed(i))
+
+        try:
+            flops = fused_fn.lower(
+                replicate(create_train_state(cfg, variables, tx), mesh),
+                frames, rois, key).compile().cost_analysis()["flops"]
+        except Exception:
+            flops = 0.0
+
+        for tag, runner in (("two_program", run_two), ("fused", run_fused)):
+            vb = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), variables)
+            state = replicate(create_train_state(cfg, vb, tx), mesh)
+            for i in range(args.warmup):
+                state, metrics = runner(state, i)
+                float(metrics["total_loss"])
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                state, metrics = runner(state, i + 7)
+                float(metrics["total_loss"])
+            dt = (time.perf_counter() - t0) / args.iters
+            import json as _json
+            print(_json.dumps({
+                "metric": f"grouped_ab/{tag} (raw frames -> fwd+bwd+opt)",
+                "rois": n_rois, "frames": n_frames,
+                "ms_per_step": round(dt * 1000, 1),
+                "poses_per_sec": round(n_rois / dt, 1),
+                "mfu_pct": round(100 * flops / dt / peak, 1)
+                           if flops else None,
+            }), flush=True)
 if __name__ == "__main__":
     main()
