@@ -159,14 +159,18 @@ class DataConfig:
     # applies the reference-exact IMAGE-level repeat factors here.
     # false = legacy flat per-instance path (float32 full frames per ROI).
     frame_bucket: int = 8           # frame-axis pad bucket (grouped path)
-    fused_train_step: bool = True   # grouped path, single process: fuse
+    fused_train_step: bool = False  # grouped path, single process: fuse
     # preprocessing into the train step — ONE compiled program per
-    # iteration. Kills the jit-boundary relayout copy the trunk's
-    # thin-channel stem otherwise pays (HLO finding, tools/bench_layout),
-    # shards the per-ROI preprocess graph over the mesh with the model,
-    # and saves a dispatch. Multi-host falls back to the two-program
-    # path automatically (frames differ per host). false = always
-    # two programs (debug fallback).
+    # iteration, sharding the per-ROI preprocess graph over the mesh
+    # with the model. The HLO cost model predicted the fusion would
+    # kill a jit-boundary relayout copy (tools/bench_layout), but the
+    # real-chip A/B (tools/bench_train --grouped-ab, PERF.md round 4)
+    # measured the fused program 1.5-5% SLOWER than the two-program
+    # pipeline at 95/190 ROIs — so the two-program path is the default
+    # and the fused step stays as a tested opt-in (it remains the
+    # sharded-preprocess option for mesh runs whose host input feed is
+    # the bottleneck). Multi-host always uses the two-program path
+    # (frames differ per host).
     ship_crops: bool = True         # grouped path: ship per-ROI GT xyz +
     # packed masks as TIGHT CROPS (the xyz map's own nonzero bbox) with a
     # [2] offset instead of full frames — bit-exact (everything the train

@@ -52,7 +52,11 @@ def main():
         rng = np.random.RandomState(0)
         xs = [jnp.asarray(rng.rand(bs, *in_shape).astype(np.float32),
                           dtype=jnp.bfloat16) for _ in range(3)]
-        variables = module.init(jax.random.PRNGKey(0), xs[0], train=False)
+        # jitted init: eager flax init at bench batch sizes dispatches
+        # hundreds of per-primitive compiles through the device relay
+        variables = jax.jit(
+            lambda k, x: module.init(k, x, train=False))(
+            jax.random.PRNGKey(0), xs[0])
 
         def fwd_eval(v, x):
             return module.apply(v, x, train=False, **kw)

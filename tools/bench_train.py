@@ -81,7 +81,11 @@ def main():
         imgs = [jnp.asarray(rng.rand(*batch["roi_img"].shape)
                             .astype(np.float32)) for _ in range(4)]
 
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        # jit the init: eager flax init at bench batch sizes dispatches
+        # hundreds of per-primitive compiles through the device relay
+        # (minutes of wall clock); one compiled program instead
+        variables = jax.jit(lambda k, b: model.init(k, b, train=False))(
+            jax.random.PRNGKey(0), batch)
         tx = build_optimizer(cfg, total_iters=1000)
         state = replicate(create_train_state(cfg, variables, tx), mesh)
         step_fn = make_sharded_train_step(cfg, model, tx, mesh)
@@ -228,7 +232,8 @@ def _grouped_ab(cfg, args, peak):
         key = jax.random.PRNGKey(3)
         batch0 = preprocess_rois_grouped(cfg, frames, rois, key,
                                          train=True)
-        variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
+        variables = jax.jit(lambda k, b: model.init(k, b, train=False))(
+            jax.random.PRNGKey(0), batch0)
         tx = build_optimizer(cfg, total_iters=1000)
         step_fn = make_sharded_train_step(cfg, model, tx, mesh)
         fused_fn = make_fused_sharded_train_step(cfg, model, tx, mesh)
