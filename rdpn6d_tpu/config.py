@@ -232,6 +232,9 @@ class TrainRuntimeConfig:
     eval_period: int = 0
     seed: int = 0
     output_dir: str = "output"
+    tb_histograms: bool = False     # parameter histograms to TB at
+    # 10x log_period (my_writer.py:200-266's histogram_raw support);
+    # opt-in: it fetches the full param tree to host at that cadence
 
 
 @dataclass(frozen=True)

@@ -100,5 +100,18 @@ class DeviceFrameCache:
     def resident_bytes(self) -> int:
         return self._bytes
 
+    def stats(self) -> dict[str, float]:
+        """Observability snapshot for the metric writers: the cache is
+        load-bearing (PERF.md round 4 measured ~4x step time at the
+        gate run), so its behavior must be visible in metrics.json/TB —
+        a silently-thrashing cache (cap too small for the epoch's frame
+        set) looks identical to a healthy one from the loss curve."""
+        total = self.hits + self.misses
+        return {
+            "frame_cache_hit_rate": self.hits / total if total else 0.0,
+            "frame_cache_resident_mb": self._bytes / (1 << 20),
+            "frame_cache_frames": float(len(self._cache)),
+        }
+
     def __len__(self) -> int:
         return len(self._cache)

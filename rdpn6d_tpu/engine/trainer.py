@@ -74,7 +74,8 @@ class Trainer:
               loader2: Iterator[dict] | None = None,
               train2_ratio: float = 0.0,
               eval_fn: Callable[[Any, int], None] | None = None,
-              rng: np.random.RandomState | None = None) -> Any:
+              rng: np.random.RandomState | None = None,
+              aux_metrics_fn: Callable[[], dict] | None = None) -> Any:
         cfg = self.cfg
         rng = rng or np.random.RandomState(cfg.train.seed)
         ckpt_period = max(int(self.total_iters
@@ -122,6 +123,11 @@ class Trainer:
                 if not np.isfinite(total):  # engine.py:297 NaN guard
                     raise FloatingPointError(
                         f"non-finite total loss at iter {it}: {host}")
+                if aux_metrics_fn is not None:
+                    # host-side observability (e.g. DeviceFrameCache
+                    # hit/miss/residency) rides the same log event
+                    host.update({k: float(v)
+                                 for k, v in aux_metrics_fn().items()})
                 self.buf.update(host)
                 lr = float(self.schedule(it))
                 self.console.write(it + 1, self.buf, lr)
@@ -129,6 +135,17 @@ class Trainer:
                     self.json_writer.write(it + 1, {**host, "lr": lr})
                 if self.tb is not None:
                     self.tb.write(it + 1, host)
+
+            if self.tb is not None and cfg.train.tb_histograms \
+                    and (it + 1) % (cfg.train.log_period * 10) == 0:
+                try:
+                    from flax.traverse_util import flatten_dict
+                    params = jax.device_get(self.state.params)
+                    self.tb.write_histograms(it + 1, {
+                        "/".join(path): leaf for path, leaf
+                        in flatten_dict(params).items()})
+                except Exception:  # observability must never kill training
+                    pass
 
             if self.tb is not None \
                     and (it + 1) % (cfg.train.log_period * 10) == 0:

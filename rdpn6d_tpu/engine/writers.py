@@ -102,6 +102,21 @@ class TensorboardWriter:
                 self._tf.summary.scalar(k, float(v), step=step)
             self._writer.flush()
 
+    def write_histograms(self, step: int, tensors: dict[str, Any]) -> None:
+        """Histogram summaries (my_writer.py:200-266 MyTensorboardXWriter
+        histogram support). ``tensors`` maps name -> array-like."""
+        if self._writer is None:
+            return
+        import numpy as np
+
+        with self._writer.as_default():
+            for k, v in tensors.items():
+                arr = np.asarray(v, np.float32).ravel()
+                if arr.size == 0:
+                    continue
+                self._tf.summary.histogram(k, arr, step=step)
+            self._writer.flush()
+
     def write_images(self, step: int, images: dict[str, Any]) -> None:
         """Image panels (input / pred-coords / gt-coords / masks — the
         trainer's TB visualization, engine.py:331-367). Images are [H,W,C]

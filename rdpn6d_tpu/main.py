@@ -287,11 +287,15 @@ def main(argv=None):
             trainer.train(device_batches(split), start_iter=start,
                           loader2=loader2,
                           train2_ratio=cfg.data.train2_ratio,
-                          eval_fn=eval_fn)
+                          eval_fn=eval_fn,
+                          aux_metrics_fn=dev_cache.stats
+                          if dev_cache is not None else None)
     else:
         trainer.train(device_batches(split), start_iter=start,
                       loader2=loader2, train2_ratio=cfg.data.train2_ratio,
-                      eval_fn=eval_fn)
+                      eval_fn=eval_fn,
+                      aux_metrics_fn=dev_cache.stats
+                      if dev_cache is not None else None)
     logger.info("training complete")
 
 
