@@ -27,6 +27,9 @@ class BackboneConfig:
     freeze: bool = False
     rot_concat: bool = False        # multi-scale skip fusion into the head
     pretrained: str = ""            # path to converted torchvision npz, or ""
+    space_to_depth: bool = False    # exact s2d(2)+4x4/s1 stem rewrite (the
+    # 15-20%-MFU thin-stem remedy, PERF.md round 4; param tree changes
+    # shape but converts losslessly — models/resnet.py:stem_kernel_to_s2d)
 
 
 @dataclass(frozen=True)

@@ -96,6 +96,7 @@ class RDPN(nn.Module):
                           int8=self._int8_trunk,
                           int8_static=self.int8_static,
                           int8_stages=self._trunk_stage_mask,
+                          s2d_stem=cfg.backbone.space_to_depth,
                           name="backbone")
         # train/return_skips positional: static under nn.remat
         if cfg.backbone.rot_concat:

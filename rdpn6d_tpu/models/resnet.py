@@ -83,8 +83,47 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def stem_kernel_to_s2d(k7):
+    """Remap a [7,7,C,O] stride-2 stem kernel to the exactly equivalent
+    [4,4,4C,O] space-to-depth(2) stride-1 kernel (tap a = 2*ku + di - 1;
+    taps outside 0..6 are the structural zeros of the 8-wide cover)."""
+    import numpy as np
+
+    k7 = np.asarray(k7)
+    C, O = k7.shape[2], k7.shape[3]
+    k4 = np.zeros((4, 4, 4 * C, O), k7.dtype)
+    for ku in range(4):
+        for kv in range(4):
+            for di in range(2):
+                for dj in range(2):
+                    au, av = 2 * ku + di - 1, 2 * kv + dj - 1
+                    if 0 <= au < 7 and 0 <= av < 7:
+                        blk = (di * 2 + dj) * C
+                        k4[ku, kv, blk:blk + C, :] = k7[au, av]
+    return k4
+
+
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H/b,W/b,b*b*C]; channel index = (di*b+dj)*C + c."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // block, block, W // block, block, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // block, W // block, block * block * C)
+
+
 class ResNetTrunk(nn.Module):
-    """conv7x7/2 + maxpool/2 + 4 stages. 256^2 input -> 8x8 final feature."""
+    """conv7x7/2 + maxpool/2 + 4 stages. 256^2 input -> 8x8 final feature.
+
+    ``space_to_depth``: replace the 7x7/s2 stem conv with an EXACTLY
+    equivalent space-to-depth(2) + 4x4/s1 conv (same math incl. the zero
+    border taps — see ``stem_kernel_to_s2d`` for the tap remap and
+    tests/test_s2d.py for the numerical pin). Why: the thin 3-channel
+    256^2 stem is the measured 15-20%-MFU trunk culprit (PERF.md round 4
+    bench_bn); packing 2x2 pixel blocks into channels quarters the
+    spatial extent and 4x's the contraction depth, which the MXU tiles
+    far better. The param tree changes shape ([4,4,12,64] vs [7,7,3,64])
+    but checkpoints convert losslessly in either direction.
+    """
 
     depth: int = 34
     dtype: Any = jnp.float32
@@ -93,6 +132,7 @@ class ResNetTrunk(nn.Module):
     int8_stages: Any = None         # None = all stages when int8; else a
     # 4-tuple of bools selecting which stages quantize (per-stage int8
     # sensitivity attribution, PERF.md round 4)
+    s2d_stem: bool = False          # opt-in (backbone.space_to_depth)
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -108,8 +148,18 @@ class ResNetTrunk(nn.Module):
         # half of roi_img — depth-XYZ joins later at SpatialPointNet,
         # whose metric-coordinate inputs are the real mixed-dynamic-range
         # hazard if its 1x1 convs are ever quantized.)
-        x = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                 force_fp=True)(x)
+        if self.s2d_stem:
+            # conv7x7/s2(pad 3) == s2d(2) + conv4x4/s1(pad (2,1)): output
+            # position i taps x[2i-4 .. 2i+3] (the -4 tap is a structural
+            # zero in the remapped kernel), identical to the 7-tap window
+            # x[2i-3 .. 2i+3] with identical zero-border semantics
+            x = space_to_depth(x, 2)
+            x = conv(64, (4, 4), strides=(1, 1),
+                     padding=((2, 1), (2, 1)), use_bias=False,
+                     force_fp=True)(x)
+        else:
+            x = conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                     force_fp=True)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu(x)

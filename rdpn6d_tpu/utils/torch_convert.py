@@ -194,6 +194,15 @@ def load_pretrained_backbone(variables: dict, pth_path: str,
           if hasattr(v, "numpy")}
     params, stats = convert_torchvision_resnet(sd, depth)
 
+    # backbone.space_to_depth models carry a [4,4,4C,64] stem: remap the
+    # torch 7x7 kernel losslessly (models/resnet.py:stem_kernel_to_s2d)
+    tgt_stem = variables["params"].get(backbone_name, {}).get(
+        "Conv_0", {}).get("kernel")
+    if tgt_stem is not None and tgt_stem.shape[:2] == (4, 4):
+        from ..models.resnet import stem_kernel_to_s2d
+        params["Conv_0"] = {
+            "kernel": stem_kernel_to_s2d(params["Conv_0"]["kernel"])}
+
     # keep EVERY collection of the init (e.g. int8-static models carry a
     # "quant" collection) — rebuilding with only params/batch_stats would
     # silently drop them

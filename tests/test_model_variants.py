@@ -40,6 +40,14 @@ def test_rot_concat_skips():
     run_variant(["backbone.rot_concat=true"])
 
 
+def test_space_to_depth_stem():
+    # forward + the rot_concat skip path under the s2d stem; exactness
+    # vs the 7x7 stem is pinned separately in tests/test_s2d.py
+    run_variant(["backbone.space_to_depth=true"])
+    run_variant(["backbone.space_to_depth=true",
+                 "backbone.rot_concat=true"])
+
+
 def test_point_pnp_heads():
     run_variant(['pnp.pnp_head="SimplePointPnP"'])
     run_variant(['pnp.pnp_head="PointPnP"'])
