@@ -238,6 +238,13 @@ class TrainRuntimeConfig:
     tb_histograms: bool = False     # parameter histograms to TB at
     # 10x log_period (my_writer.py:200-266's histogram_raw support);
     # opt-in: it fetches the full param tree to host at that cadence
+    nan_guard_period: int = 1       # check loss finiteness every N iters
+    # (lag-1). 1 = the reference's every-iteration assert (engine.py:297).
+    # Through a high-latency device relay each check costs a ~25 ms
+    # blocking readback; N>1 trades "a NaN can poison at most N optimizer
+    # steps before the run stops" for that per-iteration tax. Checkpoint
+    # saves ALWAYS force-check regardless (trainer.py), so a poisoned
+    # state can never be persisted.
 
 
 @dataclass(frozen=True)

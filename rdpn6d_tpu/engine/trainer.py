@@ -104,13 +104,16 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.step_fn(self.state, batch)
 
-            # EVERY-iteration finiteness guard with one step of lag: step
-            # it-1 has finished by the time step it is dispatched, so the
-            # float() sync costs ~nothing, and a NaN can poison at most
-            # one optimizer step before the run stops (the reference
-            # asserts every iteration, engine.py:297; a log-period-only
-            # check would let NaN weights reach the next checkpoint)
-            if prev is not None:
+            # Periodic finiteness guard with one step of lag: step it-1
+            # has finished by the time step it is dispatched, so the
+            # float() sync is cheap on a direct-attached device, and a
+            # NaN can poison at most nan_guard_period optimizer steps
+            # before the run stops (the reference asserts every
+            # iteration, engine.py:297 — that is the default; through a
+            # high-latency relay the blocking readback is a measurable
+            # per-iteration tax, see config.train.nan_guard_period)
+            if prev is not None \
+                    and it % max(cfg.train.nan_guard_period, 1) == 0:
                 p_it, p_total = prev
                 if not np.isfinite(float(p_total)):
                     raise FloatingPointError(
