@@ -21,5 +21,11 @@ def get_config() -> Config:
         "data.truncate_fg=true",
         "head.num_classes=8",
         "solver.total_epochs=40",
+        # ImageNet backbone: the reference default (gdrn_base.py
+        # BACKBONE.PRETRAINED="torchvision://resnet34", GDRN.py:836-851).
+        # Resolved against local checkpoint dirs at train start; FAILS
+        # LOUDLY if absent (utils/torch_convert.resolve_pretrained) --
+        # set "" to train from scratch deliberately.
+        'backbone.pretrained="torchvision://resnet34"',
         'train.output_dir="output/lmo"',
     ])

@@ -24,5 +24,11 @@ def get_config() -> Config:
         "head.num_classes=20",
         "solver.total_epochs=25",
         'test.error_types="AUCadd,AUCadi,AUCad,vsd"',
+        # ImageNet backbone: the reference default (gdrn_base.py
+        # BACKBONE.PRETRAINED="torchvision://resnet34", GDRN.py:836-851).
+        # Resolved against local checkpoint dirs at train start; FAILS
+        # LOUDLY if absent (utils/torch_convert.resolve_pretrained) --
+        # set "" to train from scratch deliberately.
+        'backbone.pretrained="torchvision://resnet34"',
         'train.output_dir="output/mp6d"',
     ])

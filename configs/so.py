@@ -84,6 +84,10 @@ def get_config(variant: str) -> Config:
         "head.mask_class_aware=false",
         "head.region_class_aware=false",
         f"solver.total_epochs={epochs}",
+        # ImageNet backbone, the reference SO-config default — resolved
+        # locally at train start, fails loudly if absent
+        # (utils/torch_convert.resolve_pretrained)
+        'backbone.pretrained="torchvision://resnet34"',
         f'train.output_dir="output/{dataset}SO/{obj}"',
     ]
     if train2 is not None:

@@ -25,5 +25,11 @@ def get_config() -> Config:
         "loss.pm_loss_sym=true",
         "solver.total_epochs=10",
         'test.error_types="AUCadd,AUCadi,AUCad,ad,ABSad"',
+        # ImageNet backbone: the reference default (gdrn_base.py
+        # BACKBONE.PRETRAINED="torchvision://resnet34", GDRN.py:836-851).
+        # Resolved against local checkpoint dirs at train start; FAILS
+        # LOUDLY if absent (utils/torch_convert.resolve_pretrained) --
+        # set "" to train from scratch deliberately.
+        'backbone.pretrained="torchvision://resnet34"',
         'train.output_dir="output/ycbv"',
     ])

@@ -182,9 +182,19 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(cfg.train.seed),
                            dummy_batch(cfg, 2), train=False)
     if cfg.backbone.pretrained:
+        # resolves torchvision://resnetNN against local checkpoint dirs
+        # and FAILS LOUDLY if absent (utils/torch_convert.py) — except
+        # when resuming an existing run, where the restored checkpoint
+        # replaces this init anyway
+        from .engine.checkpoint import CheckpointManager
         from .utils.torch_convert import load_pretrained_backbone
-        variables = load_pretrained_backbone(variables,
-                                             cfg.backbone.pretrained)
+        has_ckpt = args.resume and CheckpointManager(
+            f"{cfg.train.output_dir}/ckpt",
+            cfg.train.max_to_keep).latest_step() is not None
+        if not has_ckpt:
+            variables = load_pretrained_backbone(
+                variables, cfg.backbone.pretrained,
+                depth=cfg.backbone.depth)
 
     # epochs -> iterations (engine.py:179-186 epoch semantics)
     split = list(cfg.data.train_datasets)

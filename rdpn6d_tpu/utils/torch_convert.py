@@ -181,11 +181,66 @@ def convert_rdpn_checkpoint(state_dict: dict[str, Any],
     return params, stats
 
 
+def resolve_pretrained(spec: str, depth: int = 34) -> str:
+    """Resolve ``backbone.pretrained`` to a local .pth path, LOUDLY.
+
+    Accepts a filesystem path or a ``torchvision://resnetNN`` reference —
+    the reference's default backbone spec (GDRN.py:836-851 loads
+    ``torchvision://resnet34`` via mmcv, which downloads on demand). This
+    environment has zero egress, so the torchvision scheme searches local
+    directories instead ($RDPN6D_PRETRAINED_DIR, $TORCH_HOME/hub/
+    checkpoints, <$RDPN6D_DATA_ROOT>/pretrained) and raises with the
+    remediation steps when nothing is found — a user reproducing the
+    reference recipe must never SILENTLY train from scratch.
+    """
+    import glob
+    import os
+
+    if not spec:
+        return ""
+    if "://" in spec:
+        scheme, name = spec.split("://", 1)
+        if scheme != "torchvision":
+            raise ValueError(f"unknown pretrained scheme {scheme!r} "
+                             f"(supported: torchvision://, local paths)")
+        search = [
+            os.environ.get("RDPN6D_PRETRAINED_DIR", ""),
+            os.path.join(os.environ.get(
+                "TORCH_HOME", os.path.expanduser("~/.cache/torch")),
+                "hub", "checkpoints"),
+            os.path.join(os.environ.get("RDPN6D_DATA_ROOT", "datasets"),
+                         "pretrained"),
+        ]
+        for base in search:
+            if not base or not os.path.isdir(base):
+                continue
+            hits = sorted(glob.glob(os.path.join(base, f"{name}*.pth")))
+            if hits:
+                return hits[0]
+        raise FileNotFoundError(
+            f"backbone.pretrained={spec!r}: no {name}*.pth found in "
+            f"{[s for s in search if s]}. This machine has no network "
+            "egress, so download the torchvision checkpoint elsewhere "
+            f"(torchvision.models.resnet{depth}(weights='IMAGENET1K_V1')) "
+            "and drop the .pth into $RDPN6D_PRETRAINED_DIR — or train "
+            'explicitly from scratch with backbone.pretrained="". '
+            "Refusing to silently train from scratch: the from-scratch "
+            "backbone is a measured failing regime (PERF.md run D).")
+    if not os.path.exists(spec):
+        raise FileNotFoundError(
+            f"backbone.pretrained={spec!r} does not exist — convert a "
+            "torch checkpoint with tools/convert_checkpoint.py or set "
+            'backbone.pretrained="" to train from scratch')
+    return spec
+
+
 def load_pretrained_backbone(variables: dict, pth_path: str,
                              depth: int = 34,
                              backbone_name: str = "backbone") -> dict:
     """Load a local torchvision .pth into the model's backbone subtree."""
     import torch
+
+    pth_path = resolve_pretrained(pth_path, depth)
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     if "state_dict" in sd:

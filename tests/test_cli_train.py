@@ -91,3 +91,57 @@ def test_cli_train_two_iters(tiny_ds, monkeypatch):
     assert "total_loss" in metrics
     ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
     assert len(ckpts) >= 1
+
+
+def test_cli_train_with_pretrained_backbone(tiny_ds, monkeypatch):
+    """main.py resolves backbone.pretrained (torchvision:// scheme),
+    grafts the weights, and trains — and fails loudly when absent."""
+    torch = pytest.importorskip("torch")
+    import textwrap as tw
+
+    from tests.test_torch_convert import synthetic_state_dict
+
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(tiny_ds / "ds"))
+    pdir = tiny_ds / "pretrained"
+    pdir.mkdir()
+    sd = synthetic_state_dict(18)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               str(pdir / "resnet18-f37072fd.pth"))
+
+    cfg_path = tiny_ds / "exp_pre.py"
+    out_dir = str(tiny_ds / "out_pre").replace("\\", "/")
+    cfg_path.write_text(tw.dedent(f"""
+        from rdpn6d_tpu.config import Config
+        from rdpn6d_tpu.data.bop import Split, register_split
+
+        register_split(Split("cli_tiny2_train", "lm", "train",
+                             scene_ids=(1,), objs=("ape",)))
+
+        def get_config():
+            return Config().apply_opts([
+                "backbone.depth=18", "backbone.input_res=64",
+                'backbone.pretrained="torchvision://resnet18"',
+                "head.out_res=16", "head.num_regions=4",
+                "head.num_filters=32", "data.input_res=64",
+                "data.out_res=16", "loss.num_pm_points=64",
+                'data.train_datasets=["cli_tiny2_train"]',
+                "solver.ims_per_batch=2", "solver.total_epochs=1",
+                "solver.optimizer=adamw", "solver.warmup_iters=1",
+                "train.log_period=1",
+                'train.output_dir="{out_dir}"',
+            ])
+    """))
+
+    from rdpn6d_tpu.main import main
+
+    # absent checkpoint dirs -> loud failure, no silent from-scratch run
+    monkeypatch.setenv("RDPN6D_PRETRAINED_DIR", str(tiny_ds / "nowhere"))
+    monkeypatch.setenv("TORCH_HOME", str(tiny_ds / "nohome"))
+    monkeypatch.setenv("RDPN6D_DATA_ROOT", str(tiny_ds / "nodata"))
+    with pytest.raises(FileNotFoundError, match="from scratch"):
+        main(["--config-file", str(cfg_path)])
+
+    monkeypatch.setenv("RDPN6D_PRETRAINED_DIR", str(pdir))
+    main(["--config-file", str(cfg_path)])
+    assert "total_loss" in open(
+        os.path.join(out_dir, "metrics.json")).read()
