@@ -34,6 +34,9 @@ def main():
     p.add_argument("--batch", type=int, default=192)
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--s2d", action="store_true",
+                   help="also bench the space-to-depth stem variants "
+                        "(backbone.space_to_depth A/B, VERDICT r4 #4)")
     args = p.parse_args()
 
     import jax
@@ -95,6 +98,20 @@ def main():
     # the channel count
     bench("trunk_r34_256px", ResNetTrunk(depth=34, dtype=jnp.bfloat16),
           (256, 256, 6))
+    if args.s2d:
+        # the space-to-depth stem rewrite (backbone.space_to_depth):
+        # identical math, packed input — the measured thin-stem remedy
+        # candidate (PERF.md round 4 finding #2)
+        bench("trunk_r34_256px_s2d",
+              ResNetTrunk(depth=34, dtype=jnp.bfloat16, s2d_stem=True),
+              (256, 256, 6))
+        # 3-channel variants: the REAL trunk consumes only the RGB half
+        # (rdpn.py:85), so this pair is the production-relevant A/B
+        bench("trunk_r34_256px_rgb",
+              ResNetTrunk(depth=34, dtype=jnp.bfloat16), (256, 256, 3))
+        bench("trunk_r34_256px_rgb_s2d",
+              ResNetTrunk(depth=34, dtype=jnp.bfloat16, s2d_stem=True),
+              (256, 256, 3))
     # flagship head: 32^2x1024 fused pointnet input (rdpn.py:93),
     # 3 layers x 2 convs @ 64^2 x 256
     bench("dense_head_64px",
