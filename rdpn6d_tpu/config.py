@@ -212,7 +212,9 @@ class DataConfig:
 class SolverConfig:
     ims_per_batch: int = 24
     total_epochs: int = 25
-    optimizer: str = "ranger"       # ranger | adamw | sgd
+    optimizer: str = "ranger"       # ranger | ranger_adabelief | adamw | adam |
+                                    # radam | adabelief | adamp | sgdp |
+                                    # lookahead_adam | sgd | sgd_gc | sgd_gcc
     base_lr: float = 1e-4
     weight_decay: float = 0.0
     lr_scheduler: str = "flat_and_anneal"

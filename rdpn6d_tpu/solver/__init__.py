@@ -5,11 +5,14 @@ from __future__ import annotations
 import optax
 
 from ..config import Config
-from .ranger import centralize_gradients, lookahead, ranger, scale_by_radam_rectified
+from .projection import adamp, sgdp
+from .ranger import (centralize_gradients, lookahead, ranger,
+                     ranger_adabelief, scale_by_radam_rectified)
 from .schedule import flat_and_anneal, warmup_multistep
 
-__all__ = ["ranger", "lookahead", "centralize_gradients",
-           "scale_by_radam_rectified", "flat_and_anneal", "warmup_multistep",
+__all__ = ["ranger", "ranger_adabelief", "lookahead",
+           "centralize_gradients", "scale_by_radam_rectified",
+           "adamp", "sgdp", "flat_and_anneal", "warmup_multistep",
            "build_optimizer", "build_schedule"]
 
 
@@ -38,6 +41,17 @@ def build_optimizer(cfg: Config, total_iters: int, schedule=None
         schedule = build_schedule(cfg, total_iters)
     if s.optimizer == "ranger":
         opt = ranger(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "ranger_adabelief":
+        opt = ranger_adabelief(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "adamp":
+        opt = adamp(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "sgdp":
+        opt = sgdp(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "sgd_gcc":
+        # the reference's SGD_GCC: centralize CONV kernels only
+        # (sgd_gc.py:252-253 guards dim > 3)
+        opt = optax.chain(centralize_gradients(conv_only=True),
+                          optax.sgd(schedule, momentum=0.9))
     elif s.optimizer == "adamw":
         opt = optax.adamw(schedule, weight_decay=s.weight_decay)
     elif s.optimizer == "adam":

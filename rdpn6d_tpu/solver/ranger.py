@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import optax
 
 
-def centralize_gradients() -> optax.GradientTransformation:
+def centralize_gradients(conv_only: bool = False
+                         ) -> optax.GradientTransformation:
     """Per-output-filter mean subtraction for params with ndim > 1.
 
     The reference centralizes over every dim but the OUTPUT-channel axis
@@ -34,6 +35,10 @@ def centralize_gradients() -> optax.GradientTransformation:
     axis LAST (Conv HWIO / Dense (in, out)), so the equivalent reduction
     is over dims 0..n-1; reducing 1..n here would subtract a per-input-
     row mean instead — a silently different regularizer.
+
+    ``conv_only=True`` is the reference's GCC variant (SGD_GCC,
+    sgd_gc.py:54 guards ``dim > 3``): centralize only conv kernels
+    (ndim > 3), leaving dense/linear weights untouched.
     """
 
     def init_fn(params):
@@ -42,9 +47,10 @@ def centralize_gradients() -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         del params
+        min_ndim = 3 if conv_only else 1
 
         def gc(g):
-            if g.ndim > 1:
+            if g.ndim > min_ndim:
                 axes = tuple(range(g.ndim - 1))
                 return g - jnp.mean(g, axis=axes, keepdims=True)
             return g
@@ -62,12 +68,21 @@ class RAdamState(NamedTuple):
 
 def scale_by_radam_rectified(b1: float = 0.95, b2: float = 0.999,
                              eps: float = 1e-5,
-                             n_sma_threshold: float = 5.0
+                             n_sma_threshold: float = 5.0,
+                             belief: bool = False
                              ) -> optax.GradientTransformation:
     """RAdam scaling with the Ranger variant's thresholded rectification.
 
     Note the Ranger defaults differ from stock Adam: betas=(.95, .999),
     eps=1e-5 (ranger.py:31-38).
+
+    ``belief=True`` is the AdaBelief variant (ranger_adabelief.py:178-216):
+    the second moment tracks the RESIDUAL (g - mu)^2 instead of g^2 —
+    "belief" in the gradient direction — and the adaptive denominator
+    becomes sqrt(nu + eps) + eps. (The torch code's in-place
+    ``exp_avg_sq.add_(eps)`` makes eps accumulate into the state across
+    adaptive steps — a bug-like quirk we do NOT reproduce; we apply eps
+    non-mutatingly each step, which is the published AdaBelief form.)
     """
 
     def init_fn(params):
@@ -82,8 +97,15 @@ def scale_by_radam_rectified(b1: float = 0.95, b2: float = 0.999,
         count = state.count + 1
         mu = jax.tree_util.tree_map(
             lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
-        nu = jax.tree_util.tree_map(
-            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        if belief:
+            # residual variance needs the NEW mu (torch updates exp_avg
+            # in-place before computing grad - exp_avg)
+            nu = jax.tree_util.tree_map(
+                lambda v, g, m: b2 * v + (1 - b2) * (g - m) * (g - m),
+                state.nu, updates, mu)
+        else:
+            nu = jax.tree_util.tree_map(
+                lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
 
         t = count.astype(jnp.float32)
         beta2_t = b2 ** t
@@ -98,7 +120,10 @@ def scale_by_radam_rectified(b1: float = 0.95, b2: float = 0.999,
         step_size = jnp.where(use_adaptive, rect, plain)
 
         def upd(m, v):
-            adaptive = m / (jnp.sqrt(v) + eps)
+            if belief:
+                adaptive = m / (jnp.sqrt(v + eps) + eps)
+            else:
+                adaptive = m / (jnp.sqrt(v) + eps)
             return step_size * jnp.where(use_adaptive, adaptive, m)
 
         new_updates = jax.tree_util.tree_map(upd, mu, nu)
@@ -159,6 +184,30 @@ def ranger(learning_rate: optax.ScalarOrSchedule, b1: float = 0.95,
     if use_gc:
         chain.append(centralize_gradients())
     chain.append(scale_by_radam_rectified(b1, b2, eps, n_sma_threshold))
+    if weight_decay > 0:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_learning_rate(learning_rate))
+    chain.append(lookahead(alpha, k))
+    return optax.chain(*chain)
+
+
+def ranger_adabelief(learning_rate: optax.ScalarOrSchedule,
+                     b1: float = 0.95, b2: float = 0.999,
+                     eps: float = 1e-5, alpha: float = 0.5, k: int = 6,
+                     n_sma_threshold: float = 5.0,
+                     weight_decay: float = 0.0, use_gc: bool = True,
+                     gc_conv_only: bool = False
+                     ) -> optax.GradientTransformation:
+    """Ranger with the AdaBelief second moment
+    (lib/torch_utils/solver/ranger_adabelief.py, reachable via
+    solver_utils.py:26-31 as OPTIMIZER_CFG type "RangerAdaBelief"):
+    GC -> rectified-RAdam-over-residual-variance -> decoupled weight
+    decay -> lr -> Lookahead."""
+    chain = []
+    if use_gc:
+        chain.append(centralize_gradients(conv_only=gc_conv_only))
+    chain.append(scale_by_radam_rectified(b1, b2, eps, n_sma_threshold,
+                                          belief=True))
     if weight_decay > 0:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_learning_rate(learning_rate))
