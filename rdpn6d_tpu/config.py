@@ -214,6 +214,7 @@ class SolverConfig:
     total_epochs: int = 25
     optimizer: str = "ranger"       # ranger | ranger_adabelief | adamw | adam |
                                     # radam | adabelief | adamp | sgdp |
+                                    # ralamb | rangerlars/over9000 | rmsprop_tf |
                                     # lookahead_adam | sgd | sgd_gc | sgd_gcc
     base_lr: float = 1e-4
     weight_decay: float = 0.0

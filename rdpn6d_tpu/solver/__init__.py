@@ -6,13 +6,15 @@ import optax
 
 from ..config import Config
 from .projection import adamp, sgdp
-from .ranger import (centralize_gradients, lookahead, ranger,
-                     ranger_adabelief, scale_by_radam_rectified)
+from .ranger import (centralize_gradients, lookahead, ralamb, ranger,
+                     ranger_adabelief, rangerlars,
+                     scale_by_radam_rectified)
 from .schedule import flat_and_anneal, warmup_multistep
 
 __all__ = ["ranger", "ranger_adabelief", "lookahead",
            "centralize_gradients", "scale_by_radam_rectified",
-           "adamp", "sgdp", "flat_and_anneal", "warmup_multistep",
+           "adamp", "sgdp", "ralamb", "rangerlars",
+           "flat_and_anneal", "warmup_multistep",
            "build_optimizer", "build_schedule"]
 
 
@@ -47,6 +49,19 @@ def build_optimizer(cfg: Config, total_iters: int, schedule=None
         opt = adamp(schedule, weight_decay=s.weight_decay)
     elif s.optimizer == "sgdp":
         opt = sgdp(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "ralamb":
+        opt = ralamb(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer in ("rangerlars", "over9000"):
+        opt = rangerlars(schedule, weight_decay=s.weight_decay)
+    elif s.optimizer == "rmsprop_tf":
+        # TF/Caffe2-style RMSprop (rmsprop_tf.py): eps INSIDE the sqrt,
+        # square_avg initialized to ONES, alpha=0.9, eps=1e-10. optax's
+        # rmsprop defaults to eps_in_sqrt=True already; initial_scale=1
+        # gives the TF accumulator init. (The reference applies momentum
+        # to lr-scaled steps — lr_in_momentum — which only differs from
+        # optax's ordering while the lr schedule is changing.)
+        opt = optax.rmsprop(schedule, decay=0.9, eps=1e-10,
+                            initial_scale=1.0, momentum=0.9)
     elif s.optimizer == "sgd_gcc":
         # the reference's SGD_GCC: centralize CONV kernels only
         # (sgd_gc.py:252-253 guards dim > 3)

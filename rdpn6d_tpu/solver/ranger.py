@@ -191,6 +191,82 @@ def ranger(learning_rate: optax.ScalarOrSchedule, b1: float = 0.95,
     return optax.chain(*chain)
 
 
+class RalambState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def ralamb(learning_rate: optax.ScalarOrSchedule, b1: float = 0.9,
+           b2: float = 0.999, eps: float = 1e-8,
+           weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Ralamb: RAdam with a LARS-style per-parameter trust ratio
+    (lib/torch_utils/solver/ralamb.py, the RAdam+LARS half of Over9000).
+
+    Reproduces the reference's exact trust-ratio formulation (which the
+    over9000 lineage inherited from the redknightlois gist): the
+    denominator norm is taken over the CANDIDATE NEW PARAMETER
+    ``p + raw_update`` (ralamb.py:85-87 clones p then addcdiv's the step
+    into it), not over the step alone, and the weight norm is clamped to
+    [0, 10]. Weight decay multiplies p by (1 - lr*wd) BEFORE the trusted
+    step (ralamb.py:81-82). Emits the full update (lr folded in).
+    """
+
+    def init_fn(params):
+        return RalambState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params):
+        assert params is not None, "ralamb requires params"
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) \
+            else learning_rate
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        t = count.astype(jnp.float32)
+        beta2_t = b2 ** t
+        n_sma_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        rect = jnp.sqrt(
+            (1.0 - beta2_t) * (n_sma - 4.0) / (n_sma_max - 4.0)
+            * (n_sma - 2.0) / n_sma * n_sma_max / (n_sma_max - 2.0)
+        ) / (1.0 - b1 ** t)
+        plain = 1.0 / (1.0 - b1 ** t)
+        use_adaptive = n_sma >= 5.0  # ralamb.py:67 uses >= 5, not > thresh
+        step_size = jnp.where(use_adaptive, rect, plain)
+
+        def one(p, m, v):
+            p_dec = p * (1.0 - lr * weight_decay) if weight_decay > 0 else p
+            direction = jnp.where(use_adaptive, m / (jnp.sqrt(v) + eps), m)
+            candidate = -step_size * lr * direction
+            radam_norm = jnp.linalg.norm(p_dec + candidate)
+            weight_norm = jnp.clip(jnp.linalg.norm(p), 0.0, 10.0)
+            trust = jnp.where((weight_norm == 0.0) | (radam_norm == 0.0),
+                              1.0, weight_norm / radam_norm)
+            return (p_dec - p) + trust * candidate
+
+        new_updates = jax.tree_util.tree_map(one, params, mu, nu)
+        return new_updates, RalambState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def rangerlars(learning_rate: optax.ScalarOrSchedule,
+               alpha: float = 0.5, k: int = 6,
+               weight_decay: float = 0.0,
+               **ralamb_kw) -> optax.GradientTransformation:
+    """Over9000 / RangerLars = Ralamb + Lookahead
+    (lib/torch_utils/solver/over9000.py:17-22)."""
+    return optax.chain(
+        ralamb(learning_rate, weight_decay=weight_decay, **ralamb_kw),
+        lookahead(alpha, k))
+
+
 def ranger_adabelief(learning_rate: optax.ScalarOrSchedule,
                      b1: float = 0.95, b2: float = 0.999,
                      eps: float = 1e-5, alpha: float = 0.5, k: int = 6,

@@ -174,6 +174,46 @@ def test_ranger_adabelief_differs_only_via_variance():
     assert d_b > d_r
 
 
+def _np_ralamb_run(p0, grads, lr, b1=0.9, b2=0.999, eps=1e-8, wd=0.0):
+    """Independent replica of the over9000-lineage Ralamb step."""
+    p = p0.copy()
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    n_sma_max = 2 / (1 - b2) - 1
+    for t, g in enumerate(grads, start=1):
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        beta2_t = b2 ** t
+        n_sma = n_sma_max - 2 * t * beta2_t / (1 - beta2_t)
+        if n_sma >= 5:
+            step = math.sqrt((1 - beta2_t) * (n_sma - 4) / (n_sma_max - 4)
+                             * (n_sma - 2) / n_sma
+                             * n_sma_max / (n_sma_max - 2)) / (1 - b1 ** t)
+            direction = m / (np.sqrt(v) + eps)
+        else:
+            step = 1.0 / (1 - b1 ** t)
+            direction = m
+        weight_norm = min(np.linalg.norm(p), 10.0)
+        p_dec = p * (1 - lr * wd) if wd > 0 else p
+        candidate = -step * lr * direction
+        radam_norm = np.linalg.norm(p_dec + candidate)
+        trust = 1.0 if (weight_norm == 0 or radam_norm == 0) \
+            else weight_norm / radam_norm
+        p = p_dec + trust * candidate
+    return p
+
+
+def test_ralamb_matches_numpy_replica():
+    from rdpn6d_tpu.solver import ralamb
+
+    rng = np.random.default_rng(7)
+    p0 = rng.standard_normal((4, 5)).astype(np.float32)
+    grads = _trajectory(rng, (4, 5), n=10)
+    want = _np_ralamb_run(p0, grads, lr=1e-2, wd=0.05)
+    got = _run_optax(ralamb(1e-2, weight_decay=0.05), p0, grads)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
 def test_gc_conv_only_skips_dense_kernels():
     gc = centralize_gradients(conv_only=True)
     state = gc.init(None)
@@ -191,7 +231,8 @@ def test_gc_conv_only_skips_dense_kernels():
 
 
 @pytest.mark.parametrize(
-    "name", ["ranger_adabelief", "adamp", "sgdp", "sgd_gcc"])
+    "name", ["ranger_adabelief", "adamp", "sgdp", "sgd_gcc",
+             "ralamb", "rangerlars", "over9000", "rmsprop_tf"])
 def test_build_optimizer_new_names_step(name):
     from rdpn6d_tpu.config import Config
     from rdpn6d_tpu.solver import build_optimizer
