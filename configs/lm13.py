@@ -20,6 +20,13 @@ def get_config() -> Config:
         # is wired for anyone flipping the prob on
         'data.color_aug_type="lm"',
         "head.num_classes=13",
+        # Multi-scale skip fusion into the dense head (the reference's
+        # ROT_CONCAT option, gdrn_base.py:32 defaults it off). Shipped ON
+        # here: the controlled E2 A/B measured 2.7x faster dense-task
+        # learning and every passing flagship rehearsal (runs E/F) uses
+        # it (PERF.md rounds 4-5). Set false to match reference-default
+        # param trees (e.g. for full-model checkpoint conversion).
+        "backbone.rot_concat=true",
         "solver.total_epochs=160",
         "solver.ims_per_batch=24",
         # ImageNet backbone: the reference default (gdrn_base.py

@@ -22,6 +22,13 @@ def get_config() -> Config:
         "data.change_bg_prob=0.5",
         "data.truncate_fg=true",
         "head.num_classes=20",
+        # Multi-scale skip fusion into the dense head (the reference's
+        # ROT_CONCAT option, gdrn_base.py:32 defaults it off). Shipped ON
+        # here: the controlled E2 A/B measured 2.7x faster dense-task
+        # learning and every passing flagship rehearsal (runs E/F) uses
+        # it (PERF.md rounds 4-5). Set false to match reference-default
+        # param trees (e.g. for full-model checkpoint conversion).
+        "backbone.rot_concat=true",
         "solver.total_epochs=25",
         'test.error_types="AUCadd,AUCadi,AUCad,vsd"',
         # ImageNet backbone: the reference default (gdrn_base.py
