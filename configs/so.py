@@ -80,6 +80,9 @@ def get_config(variant: str) -> Config:
         # single-class model: no class-aware heads (reference SO configs
         # set ROT_CLASS_AWARE=False etc.)
         "head.num_classes=1",
+        # shipped ON like the multi-object configs (E2 A/B: 2.7x faster
+        # dense-task learning; see configs/lm13.py note)
+        "backbone.rot_concat=true",
         "head.rot_class_aware=false",
         "head.mask_class_aware=false",
         "head.region_class_aware=false",
