@@ -27,7 +27,7 @@ from ..config import Config
 from ..geometry import ego_to_allo_mat, mat_to_ortho6d
 from ..ops.binning import quantize_coords
 from ..ops.region import residual_coord_target
-from ..ops.warp import crop_affine, crop_resize, crop_resize_mm
+from ..ops.warp import crop_affine, crop_resize_mm
 
 
 def dzi_jitter(key: jax.Array, bbox_xyxy: jax.Array, im_hw: tuple[int, int],
@@ -212,8 +212,9 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
         # like the full frame's zeros outside that bbox
         gt_center = center if "xyz_offset" not in sample \
             else center - sample["xyz_offset"]
-        stacked = crop_resize(jnp.concatenate(planes, axis=-1), gt_center,
-                              scale, out_res, "nearest")
+        stacked = crop_resize_mm(jnp.concatenate(planes, axis=-1),
+                                 gt_center, scale, out_res,
+                                 precision="highest", interp="nearest")
         roi_mask_visib = stacked[..., 0]
         roi_mask_obj = stacked[..., 1]
         roi_xyz_raw = stacked[..., 2:5]
@@ -233,8 +234,9 @@ def preprocess_roi(cfg: Config, sample: dict[str, jax.Array],
                   uu[..., None], vv[..., None]]
         if has_trunc:
             planes.append(mask_trunc_in[..., None])
-        stacked = crop_resize(jnp.concatenate(planes, axis=-1), center,
-                              scale, out_res, "nearest")
+        stacked = crop_resize_mm(jnp.concatenate(planes, axis=-1), center,
+                                 scale, out_res, precision="highest",
+                                 interp="nearest")
         visib_c, depth_c = stacked[..., 0], stacked[..., 1]
         u_c, v_c = stacked[..., 2], stacked[..., 3]
         Kf, t_gt = sample["K"], sample["gt_trans"]

@@ -112,16 +112,36 @@ def _interp_matrix(src_coords: jax.Array, src_size: int) -> jax.Array:
     return tap(x0i, 1.0 - f) + tap(x0i + 1, f)
 
 
-@partial(jax.jit, static_argnames=("out_size", "precision"))
-def crop_resize_mm(img: jax.Array, center: jax.Array, scale: jax.Array,
-                   out_size: int, precision: str | None = None) -> jax.Array:
-    """Bilinear crop-resize as two matmuls: out = Wy @ img @ Wx^T.
+def _select_matrix(src_coords: jax.Array, src_size: int) -> jax.Array:
+    """Nearest-neighbor resampling as a 0/1 selection matrix S [out, src]:
+    one 1.0 per in-bounds row (round-half-to-even like ``crop_resize``'s
+    nearest path), all-zero rows out of bounds. A one-hot f32 matmul at
+    precision="highest" reproduces the gathered values BIT-EXACTLY (v*1.0
+    + zeros), so this is a drop-in for the gather — on the MXU instead of
+    the scalar unit."""
+    idx = jnp.round(src_coords).astype(jnp.int32)
+    valid = (idx >= 0) & (idx < src_size)
+    cols = jnp.arange(src_size)
+    return ((cols[None, :] == jnp.clip(idx, 0, src_size - 1)[:, None])
+            & valid[:, None]).astype(jnp.float32)
 
-    Mathematically identical to ``crop_resize(..., "bilinear")`` but maps
-    the resampling onto the MXU instead of gathers — 16x faster on TPU v5e
+
+@partial(jax.jit, static_argnames=("out_size", "precision", "interp"))
+def crop_resize_mm(img: jax.Array, center: jax.Array, scale: jax.Array,
+                   out_size: int, precision: str | None = None,
+                   interp: str = "bilinear") -> jax.Array:
+    """Crop-resize as two matmuls: out = Wy @ img @ Wx^T.
+
+    Mathematically identical to ``crop_resize(...)`` but maps the
+    resampling onto the MXU instead of gathers — 16x faster on TPU v5e
     for the 480x640x6 -> 256^2 production crop. Default MXU precision
     (bf16 inputs) gives ~4e-3 relative error: fine for 8-bit images; pass
     precision="highest" for depth maps where millimeters matter.
+    interp="nearest" uses 0/1 selection matrices — with
+    precision="highest" the result is BIT-EXACT vs the gather path
+    (pinned by tests/test_pipeline.py::test_nearest_mm_crop_bit_exact),
+    so the GT mask/xyz crops keep cv2 parity while dodging the 256^2
+    per-plane dynamic gathers the TPU serializes on its scalar unit.
     """
     squeeze = img.ndim == 2
     if squeeze:
@@ -129,8 +149,9 @@ def crop_resize_mm(img: jax.Array, center: jax.Array, scale: jax.Array,
     H, W = img.shape[0], img.shape[1]
     sx, sy = _src_coords(center.astype(jnp.float32),
                          jnp.asarray(scale, jnp.float32), out_size)
-    Wy = _interp_matrix(sy, H)                      # [out, H]
-    Wx = _interp_matrix(sx, W)                      # [out, W]
+    mat = _select_matrix if interp == "nearest" else _interp_matrix
+    Wy = mat(sy, H)                                 # [out, H]
+    Wx = mat(sx, W)                                 # [out, W]
     out = jnp.einsum("oh,hwc,pw->opc", Wy, img, Wx,
                      preferred_element_type=jnp.float32,
                      precision=precision)

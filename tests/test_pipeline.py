@@ -258,3 +258,30 @@ def test_grouped_train_with_frame_gt_maps_rejected():
     with _pytest.raises(ValueError, match="per-instance GT"):
         preprocess_rois_grouped(cfg, frames, rois, jax.random.PRNGKey(0),
                                 train=True)
+
+
+def test_nearest_mm_crop_bit_exact():
+    """The selection-matrix nearest crop (crop_resize_mm interp="nearest",
+    precision="highest") must reproduce the gather path BIT-exactly: a
+    one-hot f32 matmul computes v*1.0 + zeros per output pixel. Covers
+    exact .5 ties (r=2 integer-aligned window), out-of-bounds windows
+    (border zeros) and multi-channel stacks — the production GT mask/xyz
+    crop (data/pipeline.py)."""
+    from rdpn6d_tpu.ops.warp import crop_resize_mm
+
+    rng = np.random.RandomState(3)
+    img = rng.randn(120, 160, 6).astype(np.float32)
+    cases = [
+        (np.array([80.0, 60.0]), 72.0),     # interior, fractional taps
+        (np.array([80.0, 60.0]), 64.0),     # r=2: every sample on a .5 tie
+        (np.array([8.0, -4.0]), 96.0),      # window hangs off two edges
+        (np.array([200.0, 150.0]), 140.0),  # fully out one corner
+    ]
+    for center, scale in cases:
+        ref = np.asarray(crop_resize(jnp.asarray(img), jnp.asarray(center),
+                                     scale, 32, "nearest"))
+        mm = np.asarray(crop_resize_mm(jnp.asarray(img),
+                                       jnp.asarray(center), scale, 32,
+                                       precision="highest",
+                                       interp="nearest"))
+        np.testing.assert_array_equal(mm, ref)
