@@ -224,6 +224,15 @@ class SolverConfig:
     warmup_iters: int = 1000
     warmup_factor: float = 0.001
     max_grad_norm: float = 0.0      # 0 = off
+    host_lr: bool = False           # lr as an opt-state hyperparam written
+                                    # by the trainer each iter instead of a
+                                    # schedule baked into the step program:
+                                    # the compiled step becomes invariant to
+                                    # total_epochs/warmup/anneal changes
+                                    # (persistent-cache hit instead of a
+                                    # full recompile). Changes the opt_state
+                                    # pytree — checkpoints are not
+                                    # interchangeable with host_lr=false.
     amp: bool = True                # bf16 compute
     remat: bool = False             # rematerialize trunk+head activations
     # in the backward pass (jax.checkpoint): trades ~30% extra FLOPs for

@@ -42,6 +42,17 @@ class Trainer:
         # ONE schedule object drives both the optimizer and the logged lr
         self.schedule = build_schedule(cfg, total_iters)
         self.tx = build_optimizer(cfg, total_iters, schedule=self.schedule)
+        # solver.host_lr: the step program carries no schedule — the
+        # trainer writes schedule(it) into opt_state.hyperparams each
+        # iteration. Evaluate the whole schedule ONCE (vmap handles
+        # schedules with cross-step reductions like warmup_multistep's
+        # milestone count) and keep it as a host table: per-iter cost is
+        # a 4-byte scalar in the donated state, not a device round-trip.
+        self._lr_table = None
+        if cfg.solver.host_lr:
+            import jax.numpy as jnp
+            self._lr_table = np.asarray(jax.vmap(self.schedule)(
+                jnp.arange(max(total_iters, 1), dtype=jnp.float32)))
         self.state = replicate(
             create_train_state(cfg, variables, self.tx), self.mesh)
         self.step_fn = make_sharded_train_step(cfg, model, self.tx,
@@ -87,6 +98,15 @@ class Trainer:
             # TRAIN2 stochastic mixing (engine.py:253-256)
             use2 = loader2 is not None and rng.rand() < train2_ratio
             batch = next(loader2 if use2 else loader)
+            if self._lr_table is not None:
+                # solver.host_lr: write this iteration's lr into the
+                # injected hyperparam (the scalar rides the donated
+                # state; the step program itself is horizon-free)
+                opt = self.state.opt_state
+                self.state = self.state.replace(opt_state=opt._replace(
+                    hyperparams={**opt.hyperparams,
+                                 "learning_rate":
+                                     np.float32(self._lr_table[it])}))
             if "rois" in batch:
                 # RAW grouped batch (main.device_batches with
                 # data.fused_train_step): preprocessing is compiled into
@@ -132,7 +152,8 @@ class Trainer:
                     host.update({k: float(v)
                                  for k, v in aux_metrics_fn().items()})
                 self.buf.update(host)
-                lr = float(self.schedule(it))
+                lr = float(self._lr_table[it]) if self._lr_table \
+                    is not None else float(self.schedule(it))
                 self.console.write(it + 1, self.buf, lr)
                 if self.json_writer is not None:
                     self.json_writer.write(it + 1, {**host, "lr": lr})

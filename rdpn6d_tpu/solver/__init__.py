@@ -37,10 +37,36 @@ def build_optimizer(cfg: Config, total_iters: int, schedule=None
                     ) -> optax.GradientTransformation:
     """``schedule`` lets the caller share ONE schedule object between the
     optimizer and its logging (so logged lr can never drift from the lr
-    actually applied)."""
+    actually applied).
+
+    With ``solver.host_lr`` the schedule is NOT baked into the update
+    computation: the lr lives in ``opt_state.hyperparams`` (optax
+    inject_hyperparams) and the trainer writes ``schedule(it)`` into it
+    each iteration from the host. The step program then contains no
+    horizon constants at all — changing ``solver.total_epochs`` (or the
+    anneal point / warmup length) re-uses the compiled executable from
+    the persistent cache instead of triggering a full recompile (~30 min
+    for the flagship step through a remote-compile relay). Pinned by
+    tests/test_host_lr.py: identical step HLO across horizons, and
+    bitwise-identical training vs the baked schedule.
+    """
     s = cfg.solver
+    if s.host_lr:
+        # structure-only factory: the injected scalar replaces the
+        # schedule; the trainer drives it (engine/trainer.py)
+        return optax.inject_hyperparams(
+            lambda learning_rate: _build_opt(cfg, learning_rate))(
+                learning_rate=0.0)
     if schedule is None:
         schedule = build_schedule(cfg, total_iters)
+    return _build_opt(cfg, schedule)
+
+
+def _build_opt(cfg: Config, schedule) -> optax.GradientTransformation:
+    """Assemble the configured optimizer around ``schedule`` — either a
+    callable iteration->lr schedule (baked into the program) or a scalar
+    lr hyperparam (solver.host_lr)."""
+    s = cfg.solver
     if s.optimizer == "ranger":
         opt = ranger(schedule, weight_decay=s.weight_decay)
     elif s.optimizer == "ranger_adabelief":

@@ -145,3 +145,51 @@ def test_cli_train_with_pretrained_backbone(tiny_ds, monkeypatch):
     main(["--config-file", str(cfg_path)])
     assert "total_loss" in open(
         os.path.join(out_dir, "metrics.json")).read()
+
+
+def test_cli_train_host_lr_and_horizon_change(tiny_ds, monkeypatch):
+    """solver.host_lr end-to-end: train, then RESUME with a longer
+    horizon — the use case the knob exists for (the step program carries
+    no schedule constants, so the horizon change is a cache hit instead
+    of a recompile). The resumed run must restore the
+    inject_hyperparams opt_state and keep training."""
+    monkeypatch.setattr(refs_mod, "DATA_ROOT", str(tiny_ds / "ds"))
+
+    cfg_path = tiny_ds / "exp_hostlr.py"
+    out_dir = str(tiny_ds / "out_hostlr").replace("\\", "/")
+    cfg_path.write_text(textwrap.dedent(f"""
+        from rdpn6d_tpu.config import Config
+        from rdpn6d_tpu.data.bop import Split, register_split
+
+        register_split(Split("cli_tiny_train", "lm", "train",
+                             scene_ids=(1,), objs=("ape",)))
+
+        def get_config():
+            return Config().apply_opts([
+                "backbone.depth=18", "backbone.input_res=64",
+                "head.out_res=16", "head.num_regions=4",
+                "head.num_filters=32", "data.input_res=64",
+                "data.out_res=16", "loss.num_pm_points=64",
+                'data.train_datasets=["cli_tiny_train"]',
+                "solver.ims_per_batch=2", "solver.total_epochs=1",
+                "solver.optimizer=adamw", "solver.warmup_iters=1",
+                "solver.host_lr=true",
+                "train.log_period=1",
+                'train.output_dir="{out_dir}"',
+            ])
+    """))
+
+    from rdpn6d_tpu.main import main
+
+    main(["--config-file", str(cfg_path)])
+    ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
+    assert len(ckpts) >= 1
+
+    # horizon change + resume: restores the hyperparams-bearing
+    # opt_state and continues to the new total
+    main(["--config-file", str(cfg_path), "--resume",
+          "--opts", "solver.total_epochs=2"])
+    lines = [json.loads(ln) for ln in
+             open(os.path.join(out_dir, "metrics.json"))
+             if ln.strip()]
+    assert any("lr" in ln and ln["lr"] > 0 for ln in lines)
