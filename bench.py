@@ -135,18 +135,27 @@ def main() -> None:
                            train=False)
 
     best_bs, best_bf16, best_fpp = 0, 0.0, 0.0
-    for bs in (128, 256, 384):
+    # DESCENDING sweep with early exit: bs=384 has been the winner on
+    # every round of record (BENCH_r02-r04), and each sweep point is a
+    # full flagship compile — ~10-20 min through a remote-compile relay.
+    # Once a smaller batch measures slower than the best so far, the
+    # curve is past its knee and the remaining points can't win.
+    for bs in (384, 256, 128):
         try:
             pps, fpp = _measure(model, variables, bs, cfg)
         except Exception as e:
-            # tolerate ONLY an OOM at the top of the sweep (keep the best
-            # smaller batch); anything else — or a first-size failure —
-            # must surface, not print value 0.0 with exit 0
-            if best_bf16 == 0.0 or "RESOURCE_EXHAUSTED" not in str(e):
+            # tolerate ONLY an OOM at the largest point (continue down
+            # the sweep); a failure with nothing measured must surface,
+            # not print value 0.0 with exit 0
+            if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            break
+            continue
         if pps > best_bf16:
             best_bs, best_bf16, best_fpp = bs, pps, fpp
+        elif best_bf16 > 0.0:
+            break  # throughput declining as bs shrinks — stop compiling
+    if best_bf16 == 0.0:
+        raise RuntimeError("every sweep point OOMed")
 
     # int8-head-static serving mode: calibrated scalar requant scales,
     # measured 1.16x faster than bf16 e2e; accuracy gate holds ad_10/
