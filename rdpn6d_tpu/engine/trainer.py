@@ -94,11 +94,14 @@ class Trainer:
                               / max(cfg.solver.total_epochs, 1)), 1)
 
         prev = None  # (iter, total_loss array) — lag-1 NaN guard
+        # getattr: test rigs build partial Trainers via __new__ without
+        # running __init__ (tests/test_checkpointing.py)
+        lr_table = getattr(self, "_lr_table", None)
         for it in range(start_iter, self.total_iters):
             # TRAIN2 stochastic mixing (engine.py:253-256)
             use2 = loader2 is not None and rng.rand() < train2_ratio
             batch = next(loader2 if use2 else loader)
-            if self._lr_table is not None:
+            if lr_table is not None:
                 # solver.host_lr: write this iteration's lr into the
                 # injected hyperparam (the scalar rides the donated
                 # state; the step program itself is horizon-free)
@@ -106,7 +109,7 @@ class Trainer:
                 self.state = self.state.replace(opt_state=opt._replace(
                     hyperparams={**opt.hyperparams,
                                  "learning_rate":
-                                     np.float32(self._lr_table[it])}))
+                                     np.float32(lr_table[it])}))
             if "rois" in batch:
                 # RAW grouped batch (main.device_batches with
                 # data.fused_train_step): preprocessing is compiled into
@@ -152,8 +155,8 @@ class Trainer:
                     host.update({k: float(v)
                                  for k, v in aux_metrics_fn().items()})
                 self.buf.update(host)
-                lr = float(self._lr_table[it]) if self._lr_table \
-                    is not None else float(self.schedule(it))
+                lr = float(lr_table[it]) if lr_table is not None \
+                    else float(self.schedule(it))
                 self.console.write(it + 1, self.buf, lr)
                 if self.json_writer is not None:
                     self.json_writer.write(it + 1, {**host, "lr": lr})
